@@ -1,0 +1,136 @@
+"""Correspondence pipeline: transform -> 5-NN -> plane fit -> robust weight.
+
+TPU-native rebuild of the per-point OpenMP loop at
+``DCReg/src/icp_test_runner.cpp:1714-1840`` (SO3 engine; the Euler engine's
+loop at :2179-2266 is identical).  Where the reference compacts valid
+correspondences into dense vectors, we keep fixed shapes and carry a validity
+mask -- compaction is hostile to XLA, masks are free.
+
+Per (transformed) source point p_w the reference:
+  1. finds 5 NN in the target; requires all 5 within ``search_radius``
+     (icp_test_runner.cpp:1726);
+  2. fits a plane through the 5 neighbors by least squares of A x = -1,
+     normalizes to n = x/|x|, d = 1/|x| (:1747-1760);
+  3. rejects if any neighbor is > 0.2 m off-plane (:1763-1773);
+  4. computes residual r = n.p_w + d and robust weight
+     s = max(0, 1 - 0.9 |r|), keeping the point only if s > 0.1 (:1774-1790);
+  5. stores the weighted normal s*n and weighted residual s*r.
+
+The plane fit here uses a batched Householder-QR least-squares solve (same
+algorithm class as Eigen's colPivHouseholderQr on the 5x3 system) so fp32
+conditioning matches the reference's QR rather than squared normal equations.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import knn as knn_mod
+
+
+class Correspondences(NamedTuple):
+    """Fixed-shape correspondence set (mask instead of compaction)."""
+    valid: jax.Array          # (N,) bool: contributes to the GN system
+    in_radius: jax.Array      # (N,) bool: all 5 NN within search radius
+    normal: jax.Array         # (N, 3) unit plane normal
+    residual: jax.Array       # (N,) raw signed point-to-plane distance
+    weight: jax.Array         # (N,) robust weight s (0 where invalid)
+    nn_idx: jax.Array         # (N, K) neighbor indices
+
+
+def householder_lstsq(A, b):
+    """Least-squares solve of A x = b for A (..., m, n), m >= n, via n
+    Householder reflections.  Batched, branchless, no LAPACK."""
+    m, n = A.shape[-2], A.shape[-1]
+    R = A
+    y = b[..., None] if b.ndim == A.ndim - 1 else b
+    for j in range(n):
+        x = R[..., j:, j]
+        normx = jnp.sqrt(jnp.sum(x * x, axis=-1))
+        alpha = -jnp.sign(jnp.where(x[..., 0] == 0, 1.0, x[..., 0])) * normx
+        v = x - jnp.concatenate(
+            [alpha[..., None], jnp.zeros_like(x[..., 1:])], axis=-1)
+        vnorm2 = jnp.sum(v * v, axis=-1)
+        safe = vnorm2 > 0
+        inv = jnp.where(safe, 2.0 / jnp.where(safe, vnorm2, 1.0), 0.0)
+        # apply reflection to trailing block of R and to y
+        Rt = R[..., j:, :]
+        coef = jnp.einsum('...i,...ij->...j', v, Rt) * inv[..., None]
+        Rt = Rt - v[..., :, None] * coef[..., None, :]
+        R = jnp.concatenate([R[..., :j, :], Rt], axis=-2)
+        yt = y[..., j:, :]
+        coef_y = jnp.einsum('...i,...ij->...j', v, yt) * inv[..., None]
+        yt = yt - v[..., :, None] * coef_y[..., None, :]
+        y = jnp.concatenate([y[..., :j, :], yt], axis=-2)
+    # back substitution on the upper-triangular n x n block
+    x = jnp.zeros(A.shape[:-2] + (n,), dtype=A.dtype)
+    for i in range(n - 1, -1, -1):
+        rhs = y[..., i, 0] - jnp.einsum('...j,...j->...', R[..., i, i + 1:], x[..., i + 1:])
+        diag = R[..., i, i]
+        safe = jnp.abs(diag) > 1e-30
+        x = x.at[..., i].set(jnp.where(safe, rhs / jnp.where(safe, diag, 1.0), 0.0))
+    return x
+
+
+def fit_planes(neighbor_xyz):
+    """Fit planes n.p + d = 0 through K-neighbor sets.
+
+    neighbor_xyz: (N, K, 3).  Returns (normal (N, 3) unit, d (N,),
+    ok (N,) bool for |x| >= 1e-6 as in icp_test_runner.cpp:1750-1755).
+    """
+    K = neighbor_xyz.shape[-2]
+    b = jnp.full(neighbor_xyz.shape[:-1], -1.0, dtype=neighbor_xyz.dtype)
+    x = householder_lstsq(neighbor_xyz, b)
+    ps = jnp.linalg.norm(x, axis=-1)
+    ok = ps >= 1e-6
+    ps_safe = jnp.where(ok, ps, 1.0)
+    normal = x / ps_safe[..., None]
+    d = 1.0 / ps_safe
+    return normal, d, ok
+
+
+class CorrespondenceParams(NamedTuple):
+    search_radius: float = 1.0
+    max_plane_thickness: float = 0.2     # icp_test_runner.cpp:1772
+    weight_slope: float = 0.9            # s = max(0, 1 - 0.9 |r|) (:1776)
+    min_weight: float = 0.1              # keep if s > 0.1 (:1785)
+    k: int = 5
+
+
+@functools.partial(jax.jit, static_argnames=("params", "chunk"))
+def find_correspondences(source_xyz, R, t, target_xyz, target_valid=None,
+                         source_valid=None,
+                         params: CorrespondenceParams = CorrespondenceParams(),
+                         chunk: int = 2048) -> Correspondences:
+    """Full correspondence pass for one iteration (fixed shapes).
+
+    source_xyz: (N, 3) body-frame points; (R, t): current pose;
+    target_xyz: (M, 3) map points.
+    """
+    p_world = source_xyz @ R.T + t
+    sq_d, idx = knn_mod.knn(p_world, target_xyz, target_valid,
+                            k=params.k, chunk=chunk, refine=2 * params.k)
+    in_radius = sq_d[:, params.k - 1] < params.search_radius ** 2
+
+    neigh = target_xyz[idx]                              # (N, K, 3)
+    normal, d_off, fit_ok = fit_planes(neigh)
+
+    # plane-quality gate: every neighbor within max_plane_thickness of plane
+    plane_dist = jnp.einsum('nkj,nj->nk', neigh, normal) + d_off[:, None]
+    max_dev_sq = jnp.max(plane_dist * plane_dist, axis=-1)
+    plane_ok = max_dev_sq < params.max_plane_thickness ** 2
+
+    residual = jnp.einsum('nj,nj->n', p_world, normal) + d_off
+    s = jnp.maximum(0.0, 1.0 - params.weight_slope * jnp.abs(residual))
+    weight_ok = s > params.min_weight
+
+    valid = in_radius & fit_ok & plane_ok & weight_ok
+    if source_valid is not None:
+        valid = valid & source_valid
+        in_radius = in_radius & source_valid
+    weight = jnp.where(valid, s, 0.0)
+    return Correspondences(valid=valid, in_radius=in_radius, normal=normal,
+                           residual=residual, weight=weight, nn_idx=idx)

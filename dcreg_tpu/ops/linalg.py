@@ -1,0 +1,165 @@
+"""Small dense linear algebra for the 6x6 / 3x3 spectral analysis path.
+
+The reference leans on Eigen (SelfAdjointEigenSolver, JacobiSVD, QR solves --
+``DCReg/src/icp_test_runner.cpp:2379-2469``, ``DCReg/include/dcreg.hpp:62-89``).
+On TPU we avoid LAPACK callbacks entirely: a fixed-sweep cyclic Jacobi
+eigensolver in pure jnp handles every symmetric spectral decomposition the
+framework needs (3x3 diagonal blocks, 3x3 Schur complements, 6x6 full
+Hessian).  The matrices are tiny, so a handful of unrolled Givens rotations is
+both exact (to fp precision) and essentially free next to the per-point work;
+crucially it is jit-compatible, batched via vmap, and deterministic.
+
+For a symmetric PSD Gauss-Newton Hessian H = J^T J, the SVD follows from the
+EVD (singular values = |eigenvalues|, U = V = eigenvectors), the fact the
+reference itself relies on (icp_test_runner.cpp:2411-2415) -- so no separate
+SVD kernel is needed anywhere.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# Number of cyclic Jacobi sweeps.  Jacobi converges quadratically; 8 sweeps on
+# a 6x6 drives off-diagonal mass to ~eps * ||A|| even for cond ~ 1e12.
+_SWEEPS = {3: 6, 6: 8}
+
+
+def _jacobi_rotation(A, V, ep, eq):
+    """One Givens rotation in the plane spanned by one-hot vectors (ep, eq),
+    applied symmetrically; returns (A', V').
+
+    Using one-hot outer products instead of scatter keeps the loop body a
+    single compiled trace for every (p, q) pair -- compile time matters.
+    """
+    app = jnp.einsum('...i,...ij,...j->...', ep, A, ep)
+    aqq = jnp.einsum('...i,...ij,...j->...', eq, A, eq)
+    apq = jnp.einsum('...i,...ij,...j->...', ep, A, eq)
+    # Golub & Van Loan 8.4: tau = (aqq - app) / (2 apq); the smaller root of
+    # t^2 + 2 tau t - 1 = 0 gives the rotation with |theta| <= pi/4.
+    diff = aqq - app
+    nonzero = jnp.abs(apq) > 0.0
+    tau = jnp.where(nonzero, diff / jnp.where(nonzero, 2.0 * apq, 1.0), 0.0)
+    # hypot is overflow-safe: tau^2 can overflow f32 on TPU (where f64 math
+    # silently degrades to f32) for near-converged off-diagonal entries.
+    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.hypot(jnp.ones_like(tau), tau))
+    t = jnp.where(tau == 0.0, 1.0, t)  # tau==0 -> theta = pi/4
+    t = jnp.where(nonzero, t, 0.0)
+    c = 1.0 / jnp.sqrt(1.0 + t * t)
+    s = t * c
+    n = A.shape[-1]
+    # G = I + (c-1)(ep ep^T + eq eq^T) + s (ep eq^T - eq ep^T)
+    Ppq = ep[..., :, None] * ep[..., None, :] + eq[..., :, None] * eq[..., None, :]
+    Spq = ep[..., :, None] * eq[..., None, :] - eq[..., :, None] * ep[..., None, :]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+    G = eye + (c - 1.0)[..., None, None] * Ppq + s[..., None, None] * Spq
+    A_new = jnp.swapaxes(G, -1, -2) @ A @ G
+    # exact annihilation of the (p, q) entries to kill fp residue
+    apq_new = jnp.einsum('...i,...ij,...j->...', ep, A_new, eq)
+    sym = ep[..., :, None] * eq[..., None, :] + eq[..., :, None] * ep[..., None, :]
+    A_new = A_new - apq_new[..., None, None] * sym
+    V_new = V @ G
+    return A_new, V_new
+
+
+@functools.partial(jax.jit, static_argnames=("sweeps",))
+def symmetric_eigh(A, sweeps: int | None = None):
+    """Eigendecomposition of a symmetric matrix via cyclic Jacobi.
+
+    Returns (eigenvalues ascending, eigenvectors as columns), matching the
+    ordering convention of Eigen::SelfAdjointEigenSolver that the reference's
+    recorded artifacts use (eigenvalues sorted small -> large).
+
+    A: (..., n, n) symmetric.  n must be a static small integer.  The whole
+    rotation schedule runs as ONE fori_loop body (a single compiled rotation
+    with dynamic plane selection) -- minimal compile time, and the matrices
+    are so small the redundant flops are irrelevant.
+    """
+    n = A.shape[-1]
+    if sweeps is None:
+        sweeps = _SWEEPS.get(n, 10)
+    A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+    V = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+
+    pairs = jnp.array([(p, q) for p in range(n - 1) for q in range(p + 1, n)],
+                      dtype=jnp.int32)
+    n_pairs = pairs.shape[0]
+    eye = jnp.eye(n, dtype=A.dtype)
+
+    def body(k, carry):
+        A, V = carry
+        pq = pairs[k % n_pairs]
+        ep = eye[pq[0]]
+        eq = eye[pq[1]]
+        return _jacobi_rotation(A, V, ep, eq)
+
+    A, V = jax.lax.fori_loop(0, sweeps * n_pairs, body, (A, V))
+    w = jnp.diagonal(A, axis1=-2, axis2=-1)
+    order = jnp.argsort(w, axis=-1)
+    w_sorted = jnp.take_along_axis(w, order, axis=-1)
+    V_sorted = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    return w_sorted, V_sorted
+
+
+def psd_svd_from_eigh(w_asc, V):
+    """Singular values (descending) + U=V columns for a symmetric PSD matrix,
+    from its ascending EVD.  Mirrors the identity the reference notes at
+    icp_test_runner.cpp:2411-2415."""
+    sv = jnp.abs(w_asc)[..., ::-1]
+    U = V[..., ::-1]
+    return sv, U
+
+
+def solve_qr_6x6(A, b):
+    """Dense solve of A x = b for the 6x6 GN system.
+
+    The reference uses colPivHouseholderQr (dcreg.hpp:250-253).  At 6x6,
+    jnp.linalg.solve (LU) is equivalent in exact arithmetic and maps to a tiny
+    fused XLA loop on TPU; for the near-singular degenerate cases every method
+    routes through its own handler before reaching this.
+    """
+    return jnp.linalg.solve(A, b)
+
+
+def inv_3x3(A):
+    """Closed-form 3x3 inverse (adjugate / det) -- branchless, batched."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / det
+    adj = jnp.stack([
+        jnp.stack([A11, A12, A13], axis=-1),
+        jnp.stack([A21, A22, A23], axis=-1),
+        jnp.stack([A31, A32, A33], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None], det
+
+
+def solve_lstsq_normal(A, b, reg: float = 0.0):
+    """Least-squares solve via normal equations for tall skinny systems
+    (the 5x3 plane fits).  x = (A^T A + reg I)^-1 A^T b, closed form 3x3."""
+    AtA = jnp.einsum('...ij,...ik->...jk', A, A)
+    if reg:
+        AtA = AtA + reg * jnp.eye(A.shape[-1], dtype=A.dtype)
+    Atb = jnp.einsum('...ij,...i->...j', A, b)
+    inv, det = inv_3x3(AtA)
+    x = jnp.einsum('...ij,...j->...i', inv, Atb)
+    return x, det
+
+
+def condition_number(w_asc, eps: float = 1e-12):
+    """max |lambda| / max(min lambda, eps) from ascending eigenvalues,
+    the guard convention used throughout the reference
+    (icp_test_runner.cpp:2428-2429, 2456-2459)."""
+    return w_asc[..., -1] / jnp.maximum(w_asc[..., 0], eps)

@@ -1,0 +1,203 @@
+"""Euler-parameterized (LOAM-faithful) point-to-plane ICP engine.
+
+Rebuild of ``TestRunner::Point2PlaneICP`` (icp_test_runner.cpp:2064-2831) --
+the engine the paper's baseline numbers use when
+``use_so3_parameterization`` is false.  Kept behaviorally faithful:
+
+  * LOAM's coordinate swap (x <- y, y <- z, z <- x) applied to both points
+    and (weighted) normals before the trig Jacobian (:2307-2336);
+  * Jacobian row ordering [arz, arx, ary, n_z', n_x', n_y'] (:2339-2344);
+  * additive Euler update (:2633-2638);
+  * convergence on |delta rmse| and |delta fitness| < 1e-4 (:2678-2687);
+  * Euler covariance mapped through computeEulerToLieJacobian (:2712-2727).
+
+The Jacobian here comes from the derivative of R(yaw)R(pitch)R(roll) in the
+swapped LOAM frame; unlike the SO3 engine, weight-derivative scaling never
+applies (the reference's Euler loop uses the weighted normal directly).
+Shares the correspondence/analysis/solve stack with the SO3 engine.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import linalg, se3
+from ..ops.correspondence import find_correspondences
+from ..ops.degeneracy import DetectionMethod, HandlingMethod, analyze
+from ..ops.gauss_newton import GNSystem
+from ..ops.solvers import solve
+from . import logpack
+from .icp import (ICPParams, ICPResult, IterationLog, _empty_log,
+                  log_from_buffer)
+
+
+def _euler_jacobian_rows(points, weighted_normals, pose):
+    """LOAM trig Jacobian rows (icp_test_runner.cpp:2299-2344), vectorized.
+
+    points: (N, 3) body frame; weighted_normals: (N, 3) = s * n;
+    pose: (6,) [roll, pitch, yaw, x, y, z].
+    Returns (N, 6) rows ordered [d/droll, d/dpitch, d/dyaw, dx, dy, dz].
+    """
+    srx, crx = jnp.sin(pose[1]), jnp.cos(pose[1])   # pitch
+    sry, cry = jnp.sin(pose[2]), jnp.cos(pose[2])   # yaw
+    srz, crz = jnp.sin(pose[0]), jnp.cos(pose[0])   # roll
+
+    # LOAM axis swap for both point and normal
+    px, py, pz = points[:, 1], points[:, 2], points[:, 0]
+    cx, cy, cz = (weighted_normals[:, 1], weighted_normals[:, 2],
+                  weighted_normals[:, 0])
+
+    crx_sry = crx * sry
+    crz_sry = crz * sry
+    srx_sry = srx * sry
+    srx_srz = srx * srz
+    arx = ((crx_sry * srz * px + crx * crz_sry * py - srx_sry * pz) * cz
+           + (-srx_srz * px - crz * srx * py - crx * pz) * cx
+           + (crx * cry * srz * px + crx * cry * crz * py - cry * srx * pz) * cy)
+    ary = (((cry * srx_srz - crz_sry) * px + (sry * srz + cry * crz * srx) * py
+            + crx * cry * pz) * cz
+           + ((-cry * crz - srx_sry * srz) * px + (cry * srz - crz * srx_sry) * py
+              - crx_sry * pz) * cy)
+    arz = (((crz * srx_sry - cry * srz) * px + (-cry * crz - srx_sry * srz) * py) * cz
+           + (crx * crz * px - crx * srz * py) * cx
+           + ((sry * srz + cry * crz * srx) * px + (crz_sry - cry * srx_srz) * py) * cy)
+    return jnp.stack([arz, arx, ary, cz, cx, cy], axis=-1)
+
+
+def icp_point_to_plane_euler(source_xyz, target_xyz, R0, t0,
+                             detection: DetectionMethod,
+                             handling: HandlingMethod,
+                             params: ICPParams = ICPParams(),
+                             T_gt=None, target_valid=None, source_valid=None,
+                             num_source: int | None = None) -> ICPResult:
+    """Euler/LOAM engine; same interface as icp_point_to_plane_so3."""
+    from ..ops.degeneracy import detection_code, handling_code
+    det = jnp.asarray(detection_code(detection), jnp.int32)
+    hand = jnp.asarray(handling_code(handling), jnp.int32)
+    return _icp_euler_impl(source_xyz, target_xyz, R0, t0, det, hand, params,
+                           T_gt, target_valid, source_valid, num_source)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "num_source"))
+def _icp_euler_impl(source_xyz, target_xyz, R0, t0, detection, handling,
+                    params: ICPParams,
+                    T_gt=None, target_valid=None, source_valid=None,
+                    num_source: int | None = None) -> ICPResult:
+    """(R0, t0) is converted to an Euler pose via MatrixToPose6D semantics
+    and updated additively each iteration."""
+    dtype = source_xyz.dtype
+    I = params.max_iterations
+    if T_gt is None:
+        T_gt = jnp.eye(4, dtype=dtype)
+    pose0 = se3.matrix_to_pose6d(se3.se3_matrix(R0.astype(dtype),
+                                                t0.astype(dtype)))
+
+    def body(state):
+        (k, pose, prev_rmse, prev_fitness, converged, aborted, H_last,
+         buf) = state
+        T = se3.pose6d_to_matrix(pose)
+        R, t = T[:3, :3], T[:3, 3]
+        corr = find_correspondences(source_xyz, R, t, target_xyz,
+                                    target_valid=target_valid,
+                                    source_valid=source_valid,
+                                    params=params.corr, chunk=params.chunk)
+        s = jnp.where(corr.valid, corr.weight, 0.0).astype(dtype)
+        wn = corr.normal * s[:, None]          # weighted normal s*n
+        J = _euler_jacobian_rows(source_xyz, wn, pose)
+        J = jnp.where(corr.valid[:, None], J, 0.0)
+        b = -(s * corr.residual)
+        H = J.T @ J
+        g = J.T @ b
+
+        n_valid = jnp.sum(corr.valid.astype(jnp.int32))
+        raw_sq = jnp.where(corr.valid, corr.residual ** 2, 0.0)
+        rmse = jnp.sqrt(jnp.sum(raw_sq) / jnp.maximum(n_valid, 1).astype(dtype))
+        denom = (jnp.asarray(num_source, dtype) if num_source is not None
+                 else jnp.asarray(source_xyz.shape[0], dtype))
+        fitness = jnp.sum(corr.in_radius.astype(dtype)) / denom
+        objective = 0.5 * jnp.sum(b * b)
+
+        analysis = analyze(H, detection, params.thresholds)
+        dx, sinfo = solve(H, g, handling, analysis, params.thresholds)
+
+        too_few = n_valid < params.min_effective_points
+        bad_dx = ~jnp.all(jnp.isfinite(dx))
+        abort_now = too_few | bad_dx
+        dx = jnp.where(abort_now, jnp.zeros_like(dx), dx)
+
+        pose_new = pose + dx                     # additive Euler update
+        pose_new = jnp.where(abort_now, pose, pose_new)
+        T_new = se3.pose6d_to_matrix(pose_new)
+        te, re = se3.pose_error(T_gt, T_new)
+
+        row = logpack.pack_row(
+            dtype,
+            executed=~too_few, effective_points=n_valid,
+            rmse=rmse, fitness=fitness, objective=objective,
+            gradient=-g, dx=dx, transform=T_new,
+            trans_error=te, rot_error_deg=re,
+            eigenvalues_full=analysis.eigenvalues_full,
+            singular_values=analysis.singular_values,
+            lambda_schur_rot=analysis.lambda_schur_rot,
+            lambda_schur_trans=analysis.lambda_schur_trans,
+            V_schur_rot=analysis.V_schur_rot,
+            V_schur_trans=analysis.V_schur_trans,
+            lambda_diag_rot=analysis.lambda_diag_rot,
+            lambda_diag_trans=analysis.lambda_diag_trans,
+            cond_full=analysis.cond_full,
+            cond_schur_rot=analysis.cond_schur_rot,
+            cond_schur_trans=analysis.cond_schur_trans,
+            cond_diag_rot=analysis.cond_diag_rot,
+            cond_diag_trans=analysis.cond_diag_trans,
+            cond_full_sub_rot=analysis.cond_full_sub_rot,
+            cond_full_sub_trans=analysis.cond_full_sub_trans,
+            is_degenerate=analysis.is_degenerate,
+            degenerate_mask=analysis.degenerate_mask,
+            pcg_iterations=sinfo.pcg_iterations,
+            pcg_residual=sinfo.pcg_residual, cond_PH=sinfo.cond_PH,
+            P_preconditioner=sinfo.P_preconditioner,
+            W_adaptive=sinfo.W_adaptive,
+        )
+        buf = jax.lax.dynamic_update_slice(buf, row[None, :], (k, jnp.asarray(0, k.dtype)))
+
+        # convergence: relative rmse AND fitness deltas < 1e-4 (:2678-2687)
+        conv = (jnp.abs(rmse - prev_rmse) < 1e-4) & \
+               (jnp.abs(fitness - prev_fitness) < 1e-4) & ~abort_now
+        H_last = jnp.where(abort_now, H_last, H)
+        return (k + 1, pose_new, rmse, fitness, conv, abort_now, H_last, buf)
+
+    def cond(state):
+        k = state[0]
+        converged, aborted = state[4], state[5]
+        return (k < I) & ~converged & ~aborted
+
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    init = (jnp.asarray(0, jnp.int32), pose0, big, jnp.asarray(0.0, dtype),
+            jnp.asarray(False), jnp.asarray(False),
+            jnp.eye(6, dtype=dtype), logpack.empty_buffer(I, dtype))
+    (k, pose, _, _, converged, aborted, H_last, buf) = jax.lax.while_loop(
+        cond, body, init)
+    log = log_from_buffer(buf)
+
+    # Euler covariance -> Lie (icp_test_runner.cpp:2696-2727)
+    w_h, V_h = linalg.symmetric_eigh(H_last)
+    invertible = jnp.abs(w_h).min() > 1e-12
+    w_inv = 1.0 / jnp.where(jnp.abs(w_h) > 1e-12, w_h, 1.0)
+    cov_euler = (V_h * w_inv[None, :]) @ V_h.T
+    w_c, V_c = linalg.symmetric_eigh(cov_euler)
+    cov_euler = (V_c * jnp.maximum(w_c, 1e-9)[None, :]) @ V_c.T
+    J_lie = se3.euler_to_lie_jacobian(pose[0], pose[1], pose[2])
+    J_cov = jnp.eye(6, dtype=dtype).at[:3, :3].set(J_lie)
+    cov = J_cov @ cov_euler @ J_cov.T
+    w_f, V_f = linalg.symmetric_eigh(cov)
+    cov = (V_f * jnp.maximum(w_f, 1e-9)[None, :]) @ V_f.T
+    cov = jnp.where(converged & invertible, cov,
+                    1e6 * jnp.eye(6, dtype=dtype))
+
+    T_final = se3.pose6d_to_matrix(pose)
+    return ICPResult(R=T_final[:3, :3], t=T_final[:3, 3],
+                     converged=converged, aborted=aborted, iterations=k,
+                     covariance=cov, log=log)

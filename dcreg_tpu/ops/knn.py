@@ -37,6 +37,39 @@ def _pad_to_multiple(x, multiple, axis, value):
     return jnp.pad(x, pad_widths, constant_values=value), n
 
 
+def _topk_min(d, k, group: int = 128):
+    """Exact k smallest per row, two-level extraction.
+
+    ``lax.top_k`` lowers to a full per-row sort (O(M log M) with terrible
+    constants on CPU and sort-lane overhead on TPU).  Instead: one full pass
+    computes per-group (lane-block) minima; then k cheap rounds pick the best
+    group, extract its minimum element, mask it, and patch that single group
+    min -- O(M) total full-width work plus k * O(M/group + group).
+    d: (C, M) -> (vals (C, k) ascending, idx (C, k)).  Exact (each round
+    re-exposes the next element of a group after masking).
+    """
+    C, M = d.shape
+    rem = (-M) % group
+    if rem:
+        d = jnp.pad(d, ((0, 0), (0, rem)), constant_values=jnp.inf)
+    G = d.shape[1] // group
+    dg = d.reshape(C, G, group)
+    gmin = jnp.min(dg, axis=2)                      # (C, G)
+    rows = jnp.arange(C)
+    vals, idxs = [], []
+    for _ in range(k):
+        g = jnp.argmin(gmin, axis=1)                # (C,)
+        block = dg[rows, g]                         # (C, group)
+        e = jnp.argmin(block, axis=1)
+        v = block[rows, e]
+        vals.append(v)
+        idxs.append(g * group + e)
+        block = block.at[rows, e].set(jnp.inf)
+        dg = dg.at[rows, g].set(block)
+        gmin = gmin.at[rows, g].set(jnp.min(block, axis=1))
+    return jnp.stack(vals, 1), jnp.stack(idxs, 1)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "refine"))
 def knn(query, target, target_valid=None, k: int = 5, chunk: int = 1024,
         refine: int = 0):
@@ -52,13 +85,16 @@ def knn(query, target, target_valid=None, k: int = 5, chunk: int = 1024,
     if target_valid is not None:
         t_sq = jnp.where(target_valid, t_sq, LARGE)
 
+    # the |q|^2+|t|^2-2q.t expansion is exact to ~1e-12 relative in f64, so
+    # the f32 re-ranking pass is skipped there (halves extraction work)
+    if dtype == jnp.float64:
+        refine = 0
     kk = max(k, refine)
 
     def chunk_fn(q):
         q_sq = jnp.sum(q * q, axis=-1)
         d = q_sq[:, None] + t_sq[None, :] - 2.0 * (q @ target.T)
-        neg_top, idx = jax.lax.top_k(-d, kk)
-        return -neg_top, idx
+        return _topk_min(d, kk)
 
     n_chunks = q_pad.shape[0] // chunk
     d_all, i_all = jax.lax.map(chunk_fn, q_pad.reshape(n_chunks, chunk, 3))

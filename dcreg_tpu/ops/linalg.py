@@ -114,12 +114,18 @@ def psd_svd_from_eigh(w_asc, V):
 def solve_qr_6x6(A, b):
     """Dense solve of A x = b for the 6x6 GN system.
 
-    The reference uses colPivHouseholderQr (dcreg.hpp:250-253).  At 6x6,
-    jnp.linalg.solve (LU) is equivalent in exact arithmetic and maps to a tiny
-    fused XLA loop on TPU; for the near-singular degenerate cases every method
-    routes through its own handler before reaching this.
+    The reference uses colPivHouseholderQr (dcreg.hpp:250-253).  Every system
+    this framework solves is symmetric (GN Hessians, optionally Tikhonov- or
+    LM-damped), so the spectral solve x = V diag(1/w) V^T b is exact-arithmetic
+    equivalent -- and unlike LAPACK LU/QR it lowers cleanly on TPU in every
+    dtype (XLA:TPU's LuDecomposition custom call is F32-only).  Near-singular
+    inputs produce a large-magnitude solution, mirroring QR's behavior; the
+    degenerate-aware methods never reach this path with a singular H.
     """
-    return jnp.linalg.solve(A, b)
+    w, V = symmetric_eigh(A)
+    safe = jnp.abs(w) > 1e-300
+    inv_w = jnp.where(safe, 1.0 / jnp.where(safe, w, 1.0), 0.0)
+    return V @ (inv_w * (jnp.swapaxes(V, -1, -2) @ b[..., None])[..., 0])
 
 
 def inv_3x3(A):

@@ -150,7 +150,9 @@ def euler_to_lie_jacobian(roll, pitch, yaw):
         jnp.stack([jnp.zeros_like(roll), cr, -sr * cp], axis=-1),
         jnp.stack([jnp.zeros_like(roll), sr, cr * cp], axis=-1),
     ], axis=-2)
-    Jinv = jnp.linalg.inv(J)
+    # closed-form 3x3 inverse (TPU-safe in all dtypes, unlike LAPACK inv)
+    from .linalg import inv_3x3
+    Jinv, _ = inv_3x3(J)
     gimbal = jnp.abs(cp) < 1e-6
     return jnp.where(gimbal[..., None, None], jnp.eye(3, dtype=J.dtype), Jinv)
 

@@ -55,3 +55,7 @@ def cylinder_clouds():
                       0.2, 0.8, 0.5], dtype=jnp.float64)
     T0 = np.asarray(se3.pose6d_to_matrix(pose))
     return target.copy(), target, T0, np.eye(4)
+
+import dcreg_tpu
+
+dcreg_tpu.enable_compile_cache("cpu")

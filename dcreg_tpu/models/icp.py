@@ -30,6 +30,7 @@ from ..ops.degeneracy import (DegeneracyThresholds, DetectionMethod,
                               HandlingMethod, analyze)
 from ..ops.gauss_newton import build_system
 from ..ops.solvers import solve
+from ..utils import precise_jit
 
 
 class ICPParams(NamedTuple):
@@ -147,7 +148,7 @@ def icp_point_to_plane_so3(source_xyz, target_xyz, R0, t0,
                          T_gt, target_valid, source_valid, num_source)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "num_source"))
+@precise_jit(static_argnames=("params", "num_source"))
 def _icp_so3_impl(source_xyz, target_xyz, R0, t0, detection, handling,
                   params: ICPParams,
                   T_gt=None, target_valid=None, source_valid=None,

@@ -32,6 +32,7 @@ from ..ops.solvers import solve
 from . import logpack
 from .icp import (ICPParams, ICPResult, IterationLog, _empty_log,
                   log_from_buffer)
+from ..utils import precise_jit
 
 
 def _euler_jacobian_rows(points, weighted_normals, pose):
@@ -81,7 +82,7 @@ def icp_point_to_plane_euler(source_xyz, target_xyz, R0, t0,
                            T_gt, target_valid, source_valid, num_source)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "num_source"))
+@precise_jit(static_argnames=("params", "num_source"))
 def _icp_euler_impl(source_xyz, target_xyz, R0, t0, detection, handling,
                     params: ICPParams,
                     T_gt=None, target_valid=None, source_valid=None,

@@ -19,9 +19,10 @@ from ..ops.knn import nn1
 from ..ops.normals import estimate_normals
 from . import logpack
 from .icp import ICPParams, ICPResult, _empty_log, log_from_buffer
+from ..utils import precise_jit
 
 
-@functools.partial(jax.jit, static_argnames=("params", "num_source",
+@precise_jit(static_argnames=("params", "num_source",
                                              "normal_k"))
 def o3d_icp(source_xyz, target_xyz, R0, t0, params: ICPParams = ICPParams(),
             T_gt=None, target_valid=None, source_valid=None,

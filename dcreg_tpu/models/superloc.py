@@ -35,6 +35,7 @@ from ..ops import linalg, se3
 from ..ops.correspondence import fit_planes
 from ..ops.knn import knn
 from .icp import ICPParams, ICPResult, _empty_log
+from ..utils import precise_jit
 
 PLANE_RESOLUTION = 0.1      # superloc.h:152 default
 
@@ -104,7 +105,7 @@ def _tukey_weight(r, a):
     return jnp.where(u > 0.0, u * u, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "num_source",
+@precise_jit(static_argnames=("params", "num_source",
                                              "inner_iters"))
 def superloc_register(source_xyz, target_xyz, R0, t0,
                       params: ICPParams = ICPParams(),

@@ -37,6 +37,7 @@ Solver map:
     per-direction projections.
 """
 from __future__ import annotations
+from ..utils import precise_jit
 
 import functools
 from typing import NamedTuple
@@ -272,7 +273,7 @@ def _solve_projection(H, b, det: XICPDetection, use_remap_matrix):
     return jnp.concatenate([d_rot, d_trans])
 
 
-@functools.partial(jax.jit, static_argnames=("detection", "handling",
+@precise_jit(static_argnames=("detection", "handling",
                                              "params", "xicp_cfg",
                                              "num_source", "normal_k"))
 def xicp_register(source_xyz, target_xyz, R0, t0,

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from . import knn as knn_mod
+from ..utils import precise_jit
 
 
 class Correspondences(NamedTuple):
@@ -100,7 +101,7 @@ class CorrespondenceParams(NamedTuple):
     k: int = 5
 
 
-@functools.partial(jax.jit, static_argnames=("params", "chunk"))
+@precise_jit(static_argnames=("params", "chunk"))
 def find_correspondences(source_xyz, R, t, target_xyz, target_valid=None,
                          source_valid=None,
                          params: CorrespondenceParams = CorrespondenceParams(),

@@ -23,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from ..utils import precise_jit
 
 LARGE = jnp.inf
 
@@ -70,7 +71,7 @@ def _topk_min(d, k, group: int = 128):
     return jnp.stack(vals, 1), jnp.stack(idxs, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk", "refine"))
+@precise_jit(static_argnames=("k", "chunk", "refine"))
 def knn(query, target, target_valid=None, k: int = 5, chunk: int = 1024,
         refine: int = 0):
     """k nearest neighbors of each query point in target.
@@ -119,7 +120,7 @@ def knn(query, target, target_valid=None, k: int = 5, chunk: int = 1024,
     return d_exact, i_all[:, :k]
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@precise_jit(static_argnames=("chunk",))
 def nn1(query, target, target_valid=None, chunk: int = 1024):
     """1-NN convenience wrapper returning ((N,) sqdist, (N,) index)."""
     d, i = knn(query, target, target_valid, k=1, chunk=chunk, refine=8)

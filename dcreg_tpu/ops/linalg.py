@@ -20,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from ..utils import precise_jit
 
 # Number of cyclic Jacobi sweeps.  Jacobi converges quadratically; 8 sweeps on
 # a 6x6 drives off-diagonal mass to ~eps * ||A|| even for cond ~ 1e12.
@@ -63,7 +64,7 @@ def _jacobi_rotation(A, V, ep, eq):
     return A_new, V_new
 
 
-@functools.partial(jax.jit, static_argnames=("sweeps",))
+@precise_jit(static_argnames=("sweeps",))
 def symmetric_eigh(A, sweeps: int | None = None):
     """Eigendecomposition of a symmetric matrix via cyclic Jacobi.
 

@@ -14,9 +14,10 @@ import jax
 import jax.numpy as jnp
 
 from . import knn as knn_mod
+from ..utils import precise_jit
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@precise_jit(static_argnames=("chunk",))
 def point_to_point_error(aligned_xyz, target_xyz, error_threshold,
                          aligned_valid=None, target_valid=None,
                          chunk: int = 2048):

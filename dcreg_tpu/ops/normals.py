@@ -15,9 +15,10 @@ import jax.numpy as jnp
 
 from . import knn as knn_mod
 from . import linalg
+from ..utils import precise_jit
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+@precise_jit(static_argnames=("k", "chunk"))
 def estimate_normals(points, k: int = 5, valid=None, viewpoint=None,
                      chunk: int = 2048):
     """Returns (N, 3) unit normals oriented toward `viewpoint` (default 0)."""

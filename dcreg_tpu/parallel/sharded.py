@@ -1,0 +1,254 @@
+"""Multi-chip sharded registration: points x map-blocks over a device mesh.
+
+The reference is a single-process OpenMP program (SURVEY.md section 2.9); its
+only parallelism is an 8-thread point loop (icp_test_runner.cpp:1714, :2169).
+The TPU-native scale-out re-expresses that as SPMD over a 2-D
+``jax.sharding.Mesh``:
+
+  axis ``data``  -- source points sharded across chips (the analogue of the
+                    OpenMP point loop; honest data parallelism);
+  axis ``map``   -- target map blocks sharded across chips (the analogue of
+                    "long context" for this workload: 53M-241M-point maps,
+                    supp.pdf Tables II/III, do not fit one chip's HBM).
+
+Inside one ``shard_map`` (the whole ICP while_loop lives inside, so each
+iteration costs exactly two collectives):
+
+  1. every (data i, map j) device finds top-k neighbors of its LOCAL source
+     shard i in its LOCAL map block j, gathering the candidate COORDINATES
+     locally (so no cross-shard index gather is ever needed);
+  2. an ``all_gather`` over ``map`` assembles the per-block candidates;
+     a k-way merge re-ranks them into the true global k-NN -- exact, because
+     each block's true top-k is a superset of its members of the global top-k;
+  3. plane fit, robust weights, and the 6x6 GN build run on the local shard;
+     ``psum`` over ``data`` (42 floats: upper-triangle H + g + counters)
+     yields the replicated global system -- the "gradient all-reduce" of
+     this workload;
+  4. the 6x6 degeneracy analysis / DCReg solve / boxplus update are
+     replicated on every device (they are microscopic), so the loop carries
+     no further communication.
+
+The result equals the single-chip engine up to fp reduction order; the test
+suite checks bit-level tolerance vs the unsharded path on a virtual 8-device
+CPU mesh.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import se3
+from ..ops.correspondence import CorrespondenceParams, fit_planes
+from ..ops.degeneracy import analyze, detection_code, handling_code
+from ..ops.gauss_newton import GNSystem
+from ..ops.solvers import solve
+from ..models.icp import ICPParams
+from ..utils import precise
+
+
+def make_mesh(n_data: int, n_map: int, devices=None) -> Mesh:
+    """A (data, map) mesh over the first n_data*n_map devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = n_data * n_map
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    import numpy as np
+    arr = np.array(devices[:n]).reshape(n_data, n_map)
+    return Mesh(arr, axis_names=("data", "map"))
+
+
+def factor_mesh(n_devices: int) -> tuple[int, int]:
+    """Split n devices into (data, map) -- map gets the smaller factor."""
+    n_map = 1
+    for cand in (2, 3):
+        if n_devices % cand == 0 and n_devices // cand >= cand:
+            n_map = cand
+            break
+    return n_devices // n_map, n_map
+
+
+def _local_topk(p_w, tgt_loc, tgt_valid_loc, kk):
+    """Exact top-kk (smallest sqdist) of each row of p_w in the local map
+    block; returns (sqdist (n, kk), coords (n, kk, 3))."""
+    t_sq = jnp.sum(tgt_loc * tgt_loc, axis=-1)
+    t_sq = jnp.where(tgt_valid_loc, t_sq, jnp.inf)
+    d = (jnp.sum(p_w * p_w, axis=-1)[:, None] + t_sq[None, :]
+         - 2.0 * p_w @ tgt_loc.T)
+    neg, idx = jax.lax.top_k(-d, kk)
+    cand = tgt_loc[idx]
+    # exact re-ranking distances (kills the expansion's cancellation error)
+    diff = cand - p_w[:, None, :]
+    d_exact = jnp.sum(diff * diff, axis=-1)
+    d_exact = jnp.where(jnp.take(tgt_valid_loc, idx), d_exact, jnp.inf)
+    return d_exact, cand
+
+
+class ShardedICPResult(NamedTuple):
+    R: jax.Array            # (3, 3)
+    t: jax.Array            # (3,)
+    converged: jax.Array    # () bool
+    aborted: jax.Array      # () bool
+    iterations: jax.Array   # () int32
+    rmse: jax.Array         # () final-iteration rmse
+    fitness: jax.Array      # ()
+    effective_points: jax.Array  # () int32
+    dx_history: jax.Array   # (I, 6)
+    transform_history: jax.Array  # (I, 4, 4)
+
+
+def sharded_icp_register(mesh: Mesh, source_xyz, target_xyz, R0, t0,
+                         detection, handling,
+                         params: ICPParams = ICPParams(),
+                         T_gt=None, source_valid=None, target_valid=None):
+    """Full degeneracy-aware point-to-plane ICP, sharded over ``mesh``.
+
+    source_xyz (N, 3) with N divisible by mesh.shape['data']; target_xyz
+    (M, 3) with M divisible by mesh.shape['map'].  Pads are expressed via
+    the optional validity masks.  Returns replicated ShardedICPResult.
+    """
+    dtype = source_xyz.dtype
+    if T_gt is None:
+        T_gt = jnp.eye(4, dtype=dtype)
+    if source_valid is None:
+        source_valid = jnp.ones(source_xyz.shape[0], bool)
+    if target_valid is None:
+        target_valid = jnp.ones(target_xyz.shape[0], bool)
+    det = jnp.asarray(detection_code(detection), jnp.int32)
+    hand = jnp.asarray(handling_code(handling), jnp.int32)
+
+    k = params.corr.k
+    cp = params.corr
+    I = params.max_iterations
+
+    @precise
+    def body(src_loc, src_val_loc, tgt_loc, tgt_val_loc, R0, t0, det, hand,
+             T_gt):
+        n_map = jax.lax.psum(1, "map")
+        num_source = jax.lax.psum(jnp.sum(src_val_loc.astype(jnp.int32)),
+                                  "data")
+
+        def one_iteration(R, t):
+            p_w = src_loc @ R.T + t
+            d_loc, c_loc = _local_topk(p_w, tgt_loc, tgt_val_loc, k)
+            # (map, n, k) / (map, n, k, 3) -> merged exact global top-k
+            d_all = jax.lax.all_gather(d_loc, "map")
+            c_all = jax.lax.all_gather(c_loc, "map")
+            n_loc = p_w.shape[0]
+            d_flat = jnp.moveaxis(d_all, 0, 1).reshape(n_loc, n_map * k)
+            c_flat = jnp.moveaxis(c_all, 0, 1).reshape(n_loc, n_map * k, 3)
+            neg, sel = jax.lax.top_k(-d_flat, k)
+            sq_d = -neg
+            neigh = jnp.take_along_axis(c_flat, sel[..., None], axis=1)
+
+            in_radius = sq_d[:, k - 1] < cp.search_radius ** 2
+            normal, d_off, fit_ok = fit_planes(neigh)
+            plane_dist = jnp.einsum("nkj,nj->nk", neigh, normal) \
+                + d_off[:, None]
+            plane_ok = jnp.max(plane_dist * plane_dist, axis=-1) \
+                < cp.max_plane_thickness ** 2
+            residual = jnp.einsum("nj,nj->n", p_w, normal) + d_off
+            s = jnp.maximum(0.0, 1.0 - cp.weight_slope * jnp.abs(residual))
+            valid = (in_radius & fit_ok & plane_ok & (s > cp.min_weight)
+                     & src_val_loc)
+            s = jnp.where(valid, s, 0.0)
+
+            # GN rows (gauss_newton.build_system semantics, local shard)
+            if params.use_weight_derivative:
+                on_ramp = (s > 0.0) & (s < 1.0)
+                ds_dr = jnp.where(on_ramp,
+                                  -cp.weight_slope * jnp.sign(residual), 0.0)
+                row_scale = jnp.where(valid, s + residual * ds_dr, 0.0)
+            else:
+                row_scale = s
+            nR = normal @ R
+            Jw = jnp.cross(src_loc, nR)
+            J = jnp.concatenate([Jw, nR], axis=-1) * row_scale[:, None]
+            b = -(s * residual)
+
+            # the 42-float cross-chip reduction (+ 3 scalar counters)
+            H = jax.lax.psum(J.T @ J, "data")
+            g = jax.lax.psum(J.T @ b, "data")
+            n_valid = jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), "data")
+            sq_sum = jax.lax.psum(
+                jnp.sum(jnp.where(valid, residual * residual, 0.0)), "data")
+            n_fit = jax.lax.psum(jnp.sum(in_radius.astype(jnp.int32)), "data")
+            obj = jax.lax.psum(0.5 * jnp.sum(b * b), "data")
+
+            rmse = jnp.sqrt(sq_sum / jnp.maximum(n_valid, 1).astype(dtype))
+            fitness = n_fit.astype(dtype) / jnp.maximum(
+                num_source, 1).astype(dtype)
+            sysm = GNSystem(H=H, g=g, num_valid=n_valid, rmse=rmse,
+                            fitness=fitness, objective=obj)
+            analysis = analyze(H, det, params.thresholds)
+            dx, _ = solve(H, g, hand, analysis, params.thresholds)
+            return sysm, dx
+
+        def loop_body(state):
+            it, R, t, conv, abort, rmse, fit, neff, dx_h, T_h = state
+            sysm, dx = one_iteration(R, t)
+            too_few = sysm.num_valid < params.min_effective_points
+            bad = ~jnp.all(jnp.isfinite(dx))
+            abort_now = too_few | bad
+            dx = jnp.where(abort_now, jnp.zeros_like(dx), dx)
+            R_new, t_new = se3.boxplus(R, t, dx)
+            R_new = jnp.where(abort_now, R, R_new)
+            t_new = jnp.where(abort_now, t, t_new)
+            conv = (jnp.linalg.norm(dx[:3]) < params.convergence_thresh_rot) \
+                & (jnp.linalg.norm(dx[3:]) < params.convergence_thresh_trans) \
+                & ~abort_now
+            dx_h = dx_h.at[it].set(dx)
+            T_h = T_h.at[it].set(se3.se3_matrix(R_new, t_new))
+            return (it + 1, R_new, t_new, conv, abort_now, sysm.rmse,
+                    sysm.fitness, sysm.num_valid.astype(jnp.int32), dx_h, T_h)
+
+        def loop_cond(state):
+            it, R, t, conv, abort = state[:5]
+            return (it < I) & ~conv & ~abort
+
+        init = (jnp.asarray(0, jnp.int32), R0.astype(dtype),
+                t0.astype(dtype), jnp.asarray(False), jnp.asarray(False),
+                jnp.asarray(jnp.nan, dtype), jnp.asarray(jnp.nan, dtype),
+                jnp.asarray(0, jnp.int32),
+                jnp.full((I, 6), jnp.nan, dtype),
+                jnp.full((I, 4, 4), jnp.nan, dtype))
+        it, R, t, conv, abort, rmse, fit, neff, dx_h, T_h = \
+            jax.lax.while_loop(loop_cond, loop_body, init)
+        return ShardedICPResult(R=R, t=t, converged=conv, aborted=abort,
+                                iterations=it, rmse=rmse, fitness=fit,
+                                effective_points=neff, dx_history=dx_h,
+                                transform_history=T_h)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data", None), P("data"), P("map", None), P("map"),
+                  P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False)
+    jitted = jax.jit(fn)
+    return jitted(source_xyz, source_valid, target_xyz, target_valid,
+                  R0.astype(dtype), t0.astype(dtype), det, hand,
+                  jnp.asarray(T_gt, dtype))
+
+
+def pad_for_mesh(arr_len: int, shards: int) -> int:
+    """Smallest multiple of ``shards`` >= arr_len."""
+    return ((arr_len + shards - 1) // shards) * shards
+
+
+def shard_points(xyz, shards: int, fill: float = 1e6):
+    """Pad (N, 3) points to a multiple of ``shards``; far-away fill keeps
+    padded rows out of every radius gate.  Returns (padded_xyz, valid)."""
+    n = xyz.shape[0]
+    m = pad_for_mesh(n, shards)
+    pad = m - n
+    xyz_p = jnp.pad(xyz, ((0, pad), (0, 0)), constant_values=fill)
+    valid = jnp.arange(m) < n
+    return xyz_p, valid

@@ -1,17 +1,22 @@
 """Point-to-plane ICP engines (L3) -- the registration "models".
 
 TPU-native rebuild of ``TestRunner::Point2PlaneICP_SO3_OpenMP``
-(icp_test_runner.cpp:1611-2060).  The whole optimization -- correspondence
-search, plane fits, GN assembly, degeneracy analysis, degenerate-system
-solve, manifold update, convergence test, and full per-iteration telemetry --
-runs inside a single ``jax.lax.while_loop`` under one ``jit``:
+(icp_test_runner.cpp:1611-2060).  Two-pass design:
 
-  * fixed-shape masked tensors replace the reference's compaction;
-  * early exit keeps the reference's semantics (stop on convergence /
-    abort on too-few-points or non-finite solve) while remaining jittable;
-  * the per-iteration log (IterationLogData, utils.hpp:174-249) is carried
-    as preallocated buffers written with ``.at[k].set`` -- the writers layer
-    reproduces the reference's CSV schemas from this pytree.
+  PASS 1 (sequential, minimal): the optimization loop -- correspondence
+  search, plane fits, GN assembly, degeneracy analysis, degenerate-system
+  solve, manifold update, convergence test -- runs in a ``lax.while_loop``
+  whose carry is just the pose + a (max_iter,) pose history.  Nothing else
+  crosses iterations, so the loop body is as small as the math allows
+  (sequential latency is the TPU cost driver here, not flops).
+
+  PASS 2 (batched, optional): the full per-iteration telemetry
+  (IterationLogData, utils.hpp:174-249 -- spectra, conds, masks, errors,
+  preconditioner, PCG stats) is *recomputed from the recorded pose history*
+  as a batched map over iterations.  Same numbers the reference logs inline
+  (the pose -> log-row map is deterministic), but the per-iteration
+  analyses run as grouped batched programs instead of sequential tails
+  inside the loop.
 
 The Euler/LOAM twin engine (icp_test_runner.cpp:2064-2831) lives in
 ``icp_euler.py``.
@@ -30,7 +35,7 @@ from ..ops.degeneracy import (DegeneracyThresholds, DetectionMethod,
                               HandlingMethod, analyze)
 from ..ops.gauss_newton import build_system
 from ..ops.solvers import solve
-from ..utils import precise_jit
+from ..utils import precise
 
 
 class ICPParams(NamedTuple):
@@ -43,6 +48,8 @@ class ICPParams(NamedTuple):
     corr: CorrespondenceParams = CorrespondenceParams()
     thresholds: DegeneracyThresholds = DegeneracyThresholds()
     chunk: int = 2048
+    full_telemetry: bool = True   # False skips pass 2 entirely (speed runs)
+    telemetry_iter_group: int = 4  # iterations analyzed per pass-2 map step
 
 
 class IterationLog(NamedTuple):
@@ -92,7 +99,8 @@ class ICPResult(NamedTuple):
 
 
 def log_from_buffer(buf) -> IterationLog:
-    """Reconstruct the structured IterationLog from a packed buffer."""
+    """Reconstruct the structured IterationLog from a packed buffer (used by
+    the engines that still log inline through ``logpack``: XICP, O3D)."""
     from . import logpack
     return IterationLog(**{name: logpack.unpack(buf, name)
                            for name in IterationLog._fields})
@@ -148,7 +156,8 @@ def icp_point_to_plane_so3(source_xyz, target_xyz, R0, t0,
                          T_gt, target_valid, source_valid, num_source)
 
 
-@precise_jit(static_argnames=("params", "num_source"))
+@functools.partial(jax.jit, static_argnames=("params", "num_source"))
+@precise
 def _icp_so3_impl(source_xyz, target_xyz, R0, t0, detection, handling,
                   params: ICPParams,
                   T_gt=None, target_valid=None, source_valid=None,
@@ -158,7 +167,7 @@ def _icp_so3_impl(source_xyz, target_xyz, R0, t0, detection, handling,
     if T_gt is None:
         T_gt = jnp.eye(4, dtype=dtype)
 
-    def one_iteration(R, t):
+    def one_iteration(R, t, telemetry):
         corr = find_correspondences(source_xyz, R, t, target_xyz,
                                     target_valid=target_valid,
                                     source_valid=source_valid,
@@ -168,75 +177,119 @@ def _icp_so3_impl(source_xyz, target_xyz, R0, t0, detection, handling,
                             weight_slope=params.corr.weight_slope)
         analysis = analyze(sysm.H, detection, params.thresholds)
         dx, sinfo = solve(sysm.H, sysm.g, handling, analysis,
-                          params.thresholds)
-        return corr, sysm, analysis, dx, sinfo
-
-    from . import logpack
-
-    def body(state):
-        k, R, t, converged, aborted, H_last, buf = state
-        corr, sysm, analysis, dx, sinfo = one_iteration(R, t)
-
+                          params.thresholds, telemetry=telemetry)
         too_few = sysm.num_valid < params.min_effective_points
         bad_dx = ~jnp.all(jnp.isfinite(dx))
         abort_now = too_few | bad_dx
         dx = jnp.where(abort_now, jnp.zeros_like(dx), dx)
+        return corr, sysm, analysis, dx, sinfo, too_few, abort_now
 
+    # ---------------- pass 1: the optimization loop ----------------------
+    # Besides the pose trajectory, the loop records the per-iteration 6x6
+    # system + scalar stats (47 floats/iter) so pass 2 never has to touch
+    # the N-point correspondence pipeline again: the telemetry
+    # reconstruction is pure batched 6x6 work.
+    class Hist(NamedTuple):
+        R: jax.Array         # (I, 3, 3) pose BEFORE iteration k
+        t: jax.Array         # (I, 3)
+        H: jax.Array         # (I, 6, 6)
+        g: jax.Array         # (I, 6)
+        num_valid: jax.Array  # (I,) int32
+        rmse: jax.Array      # (I,)
+        fitness: jax.Array   # (I,)
+        objective: jax.Array  # (I,)
+
+    def body(state):
+        k, R, t, converged, aborted, hist = state
+        _, sysm, _, dx, _, too_few, abort_now = one_iteration(R, t, False)
+        hist = Hist(R=hist.R.at[k].set(R), t=hist.t.at[k].set(t),
+                    H=hist.H.at[k].set(sysm.H), g=hist.g.at[k].set(sysm.g),
+                    num_valid=hist.num_valid.at[k].set(
+                        sysm.num_valid.astype(jnp.int32)),
+                    rmse=hist.rmse.at[k].set(sysm.rmse),
+                    fitness=hist.fitness.at[k].set(sysm.fitness),
+                    objective=hist.objective.at[k].set(sysm.objective))
         R_new, t_new = se3.boxplus(R, t, dx)
         R_new = jnp.where(abort_now, R, R_new)
         t_new = jnp.where(abort_now, t, t_new)
-        T_new = se3.se3_matrix(R_new, t_new)
-        te, re = se3.pose_error(T_gt, T_new)
-
-        row = logpack.pack_row(
-            dtype,
-            executed=~too_few,
-            effective_points=sysm.num_valid,
-            rmse=sysm.rmse, fitness=sysm.fitness, objective=sysm.objective,
-            gradient=-sysm.g, dx=dx, transform=T_new,
-            trans_error=te, rot_error_deg=re,
-            eigenvalues_full=analysis.eigenvalues_full,
-            singular_values=analysis.singular_values,
-            lambda_schur_rot=analysis.lambda_schur_rot,
-            lambda_schur_trans=analysis.lambda_schur_trans,
-            V_schur_rot=analysis.V_schur_rot,
-            V_schur_trans=analysis.V_schur_trans,
-            lambda_diag_rot=analysis.lambda_diag_rot,
-            lambda_diag_trans=analysis.lambda_diag_trans,
-            cond_full=analysis.cond_full,
-            cond_schur_rot=analysis.cond_schur_rot,
-            cond_schur_trans=analysis.cond_schur_trans,
-            cond_diag_rot=analysis.cond_diag_rot,
-            cond_diag_trans=analysis.cond_diag_trans,
-            cond_full_sub_rot=analysis.cond_full_sub_rot,
-            cond_full_sub_trans=analysis.cond_full_sub_trans,
-            is_degenerate=analysis.is_degenerate,
-            degenerate_mask=analysis.degenerate_mask,
-            pcg_iterations=sinfo.pcg_iterations,
-            pcg_residual=sinfo.pcg_residual,
-            cond_PH=sinfo.cond_PH,
-            P_preconditioner=sinfo.P_preconditioner,
-            W_adaptive=sinfo.W_adaptive,
-        )
-        buf = jax.lax.dynamic_update_slice(buf, row[None, :], (k, jnp.asarray(0, k.dtype)))
-
-        # convergence AFTER update & logging (icp_test_runner.cpp:1998-2002)
+        # convergence AFTER the update (icp_test_runner.cpp:1998-2002)
         conv = (jnp.linalg.norm(dx[:3]) < params.convergence_thresh_rot) & \
                (jnp.linalg.norm(dx[3:]) < params.convergence_thresh_trans) & \
                ~abort_now
-        H_last = jnp.where(abort_now, H_last, sysm.H)
-        return (k + 1, R_new, t_new, conv, abort_now, H_last, buf)
+        return (k + 1, R_new, t_new, conv, abort_now, hist)
 
     def cond(state):
-        k, R, t, converged, aborted, H_last, buf = state
+        k, R, t, converged, aborted = state[:5]
         return (k < I) & ~converged & ~aborted
 
+    hist0 = Hist(R=jnp.zeros((I, 3, 3), dtype), t=jnp.zeros((I, 3), dtype),
+                 H=jnp.zeros((I, 6, 6), dtype), g=jnp.zeros((I, 6), dtype),
+                 num_valid=jnp.zeros(I, jnp.int32),
+                 rmse=jnp.full(I, jnp.nan, dtype),
+                 fitness=jnp.full(I, jnp.nan, dtype),
+                 objective=jnp.full(I, jnp.nan, dtype))
     init = (jnp.asarray(0, jnp.int32), R0.astype(dtype), t0.astype(dtype),
-            jnp.asarray(False), jnp.asarray(False),
-            jnp.eye(6, dtype=dtype), logpack.empty_buffer(I, dtype))
-    k, R, t, converged, aborted, H_last, buf = jax.lax.while_loop(
-        cond, body, init)
-    log = log_from_buffer(buf)
+            jnp.asarray(False), jnp.asarray(False), hist0)
+    k, R, t, converged, aborted, hist = \
+        jax.lax.while_loop(cond, body, init)
+    H_last = hist.H[jnp.maximum(k - 1, 0)]
+
+    # ---------------- pass 2: batched telemetry reconstruction -----------
+    if params.full_telemetry:
+        def telemetry_row(args):
+            h, executed_k = args
+            analysis = analyze(h.H, detection, params.thresholds)
+            dx, sinfo = solve(h.H, h.g, handling, analysis,
+                              params.thresholds, telemetry=True)
+            too_few = h.num_valid < params.min_effective_points
+            abort_now = too_few | ~jnp.all(jnp.isfinite(dx))
+            dx = jnp.where(abort_now, jnp.zeros_like(dx), dx)
+            ana = analysis
+            R_new, t_new = se3.boxplus(h.R, h.t, dx)
+            R_new = jnp.where(abort_now, h.R, R_new)
+            t_new = jnp.where(abort_now, h.t, t_new)
+            T_new = se3.se3_matrix(R_new, t_new)
+            te, re = se3.pose_error(T_gt, T_new)
+            nanify = lambda x: jnp.where(
+                executed_k, x, jnp.full_like(x, jnp.nan))
+            return IterationLog(
+                executed=executed_k & ~too_few,
+                effective_points=jnp.where(executed_k, h.num_valid, 0
+                                           ).astype(jnp.int32),
+                rmse=nanify(h.rmse), fitness=nanify(h.fitness),
+                objective=nanify(h.objective),
+                gradient=nanify(-h.g), dx=nanify(dx),
+                transform=nanify(T_new),
+                trans_error=nanify(te), rot_error_deg=nanify(re),
+                eigenvalues_full=nanify(ana.eigenvalues_full),
+                singular_values=nanify(ana.singular_values),
+                lambda_schur_rot=nanify(ana.lambda_schur_rot),
+                lambda_schur_trans=nanify(ana.lambda_schur_trans),
+                V_schur_rot=nanify(ana.V_schur_rot),
+                V_schur_trans=nanify(ana.V_schur_trans),
+                lambda_diag_rot=nanify(ana.lambda_diag_rot),
+                lambda_diag_trans=nanify(ana.lambda_diag_trans),
+                cond_full=nanify(ana.cond_full),
+                cond_schur_rot=nanify(ana.cond_schur_rot),
+                cond_schur_trans=nanify(ana.cond_schur_trans),
+                cond_diag_rot=nanify(ana.cond_diag_rot),
+                cond_diag_trans=nanify(ana.cond_diag_trans),
+                cond_full_sub_rot=nanify(ana.cond_full_sub_rot),
+                cond_full_sub_trans=nanify(ana.cond_full_sub_trans),
+                is_degenerate=ana.is_degenerate & executed_k,
+                degenerate_mask=ana.degenerate_mask & executed_k,
+                pcg_iterations=jnp.where(executed_k, sinfo.pcg_iterations,
+                                         -1).astype(jnp.int32),
+                pcg_residual=nanify(sinfo.pcg_residual),
+                cond_PH=nanify(sinfo.cond_PH),
+                P_preconditioner=nanify(sinfo.P_preconditioner),
+                W_adaptive=nanify(sinfo.W_adaptive),
+            )
+
+        executed = jnp.arange(I) < k
+        log = jax.vmap(telemetry_row)((hist, executed))
+    else:
+        log = _empty_log(I, dtype)
 
     # covariance: repaired H^-1 when converged, 1e6 I otherwise (:2014-2037)
     w_h, V_h = linalg.symmetric_eigh(H_last)

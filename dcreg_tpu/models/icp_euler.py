@@ -14,7 +14,9 @@ the engine the paper's baseline numbers use when
 The Jacobian here comes from the derivative of R(yaw)R(pitch)R(roll) in the
 swapped LOAM frame; unlike the SO3 engine, weight-derivative scaling never
 applies (the reference's Euler loop uses the weighted normal directly).
-Shares the correspondence/analysis/solve stack with the SO3 engine.
+Shares the correspondence/analysis/solve stack with the SO3 engine, and the
+same two-pass structure (minimal while_loop + batched telemetry
+reconstruction from the pose history -- see icp.py docstring).
 """
 from __future__ import annotations
 
@@ -27,11 +29,8 @@ import jax.numpy as jnp
 from ..ops import linalg, se3
 from ..ops.correspondence import find_correspondences
 from ..ops.degeneracy import DetectionMethod, HandlingMethod, analyze
-from ..ops.gauss_newton import GNSystem
 from ..ops.solvers import solve
-from . import logpack
-from .icp import (ICPParams, ICPResult, IterationLog, _empty_log,
-                  log_from_buffer)
+from .icp import ICPParams, ICPResult, IterationLog, _empty_log
 from ..utils import precise_jit
 
 
@@ -96,9 +95,7 @@ def _icp_euler_impl(source_xyz, target_xyz, R0, t0, detection, handling,
     pose0 = se3.matrix_to_pose6d(se3.se3_matrix(R0.astype(dtype),
                                                 t0.astype(dtype)))
 
-    def body(state):
-        (k, pose, prev_rmse, prev_fitness, converged, aborted, H_last,
-         buf) = state
+    def one_iteration(pose, telemetry):
         T = se3.pose6d_to_matrix(pose)
         R, t = T[:3, :3], T[:3, 3]
         corr = find_correspondences(source_xyz, R, t, target_xyz,
@@ -122,53 +119,43 @@ def _icp_euler_impl(source_xyz, target_xyz, R0, t0, detection, handling,
         objective = 0.5 * jnp.sum(b * b)
 
         analysis = analyze(H, detection, params.thresholds)
-        dx, sinfo = solve(H, g, handling, analysis, params.thresholds)
-
+        dx, sinfo = solve(H, g, handling, analysis, params.thresholds,
+                          telemetry=telemetry)
         too_few = n_valid < params.min_effective_points
         bad_dx = ~jnp.all(jnp.isfinite(dx))
         abort_now = too_few | bad_dx
         dx = jnp.where(abort_now, jnp.zeros_like(dx), dx)
+        pose_new = jnp.where(abort_now, pose, pose + dx)  # additive update
+        return (pose_new, H, g, dx, rmse, fitness, objective, n_valid,
+                analysis, sinfo, too_few, abort_now)
 
-        pose_new = pose + dx                     # additive Euler update
-        pose_new = jnp.where(abort_now, pose, pose_new)
-        T_new = se3.pose6d_to_matrix(pose_new)
-        te, re = se3.pose_error(T_gt, T_new)
+    # ---------------- pass 1: the optimization loop ----------------------
+    # Records pose + (H, g, scalar stats) per iteration so pass 2 is pure
+    # batched 6x6 work (no correspondence recompute) -- see icp.py.
+    class Hist(NamedTuple):
+        pose: jax.Array      # (I, 6) pose BEFORE iteration k
+        H: jax.Array         # (I, 6, 6)
+        g: jax.Array         # (I, 6)
+        num_valid: jax.Array  # (I,) int32
+        rmse: jax.Array      # (I,)
+        fitness: jax.Array   # (I,)
+        objective: jax.Array  # (I,)
 
-        row = logpack.pack_row(
-            dtype,
-            executed=~too_few, effective_points=n_valid,
-            rmse=rmse, fitness=fitness, objective=objective,
-            gradient=-g, dx=dx, transform=T_new,
-            trans_error=te, rot_error_deg=re,
-            eigenvalues_full=analysis.eigenvalues_full,
-            singular_values=analysis.singular_values,
-            lambda_schur_rot=analysis.lambda_schur_rot,
-            lambda_schur_trans=analysis.lambda_schur_trans,
-            V_schur_rot=analysis.V_schur_rot,
-            V_schur_trans=analysis.V_schur_trans,
-            lambda_diag_rot=analysis.lambda_diag_rot,
-            lambda_diag_trans=analysis.lambda_diag_trans,
-            cond_full=analysis.cond_full,
-            cond_schur_rot=analysis.cond_schur_rot,
-            cond_schur_trans=analysis.cond_schur_trans,
-            cond_diag_rot=analysis.cond_diag_rot,
-            cond_diag_trans=analysis.cond_diag_trans,
-            cond_full_sub_rot=analysis.cond_full_sub_rot,
-            cond_full_sub_trans=analysis.cond_full_sub_trans,
-            is_degenerate=analysis.is_degenerate,
-            degenerate_mask=analysis.degenerate_mask,
-            pcg_iterations=sinfo.pcg_iterations,
-            pcg_residual=sinfo.pcg_residual, cond_PH=sinfo.cond_PH,
-            P_preconditioner=sinfo.P_preconditioner,
-            W_adaptive=sinfo.W_adaptive,
-        )
-        buf = jax.lax.dynamic_update_slice(buf, row[None, :], (k, jnp.asarray(0, k.dtype)))
-
+    def body(state):
+        (k, pose, prev_rmse, prev_fitness, converged, aborted, hist) = state
+        (pose_new, H, g, dx, rmse, fitness, objective, n_valid, _, _,
+         too_few, abort_now) = one_iteration(pose, False)
+        hist = Hist(pose=hist.pose.at[k].set(pose), H=hist.H.at[k].set(H),
+                    g=hist.g.at[k].set(g),
+                    num_valid=hist.num_valid.at[k].set(
+                        n_valid.astype(jnp.int32)),
+                    rmse=hist.rmse.at[k].set(rmse),
+                    fitness=hist.fitness.at[k].set(fitness),
+                    objective=hist.objective.at[k].set(objective))
         # convergence: relative rmse AND fitness deltas < 1e-4 (:2678-2687)
         conv = (jnp.abs(rmse - prev_rmse) < 1e-4) & \
                (jnp.abs(fitness - prev_fitness) < 1e-4) & ~abort_now
-        H_last = jnp.where(abort_now, H_last, H)
-        return (k + 1, pose_new, rmse, fitness, conv, abort_now, H_last, buf)
+        return (k + 1, pose_new, rmse, fitness, conv, abort_now, hist)
 
     def cond(state):
         k = state[0]
@@ -176,12 +163,70 @@ def _icp_euler_impl(source_xyz, target_xyz, R0, t0, detection, handling,
         return (k < I) & ~converged & ~aborted
 
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    hist0 = Hist(pose=jnp.zeros((I, 6), dtype),
+                 H=jnp.zeros((I, 6, 6), dtype), g=jnp.zeros((I, 6), dtype),
+                 num_valid=jnp.zeros(I, jnp.int32),
+                 rmse=jnp.full(I, jnp.nan, dtype),
+                 fitness=jnp.full(I, jnp.nan, dtype),
+                 objective=jnp.full(I, jnp.nan, dtype))
     init = (jnp.asarray(0, jnp.int32), pose0, big, jnp.asarray(0.0, dtype),
-            jnp.asarray(False), jnp.asarray(False),
-            jnp.eye(6, dtype=dtype), logpack.empty_buffer(I, dtype))
-    (k, pose, _, _, converged, aborted, H_last, buf) = jax.lax.while_loop(
-        cond, body, init)
-    log = log_from_buffer(buf)
+            jnp.asarray(False), jnp.asarray(False), hist0)
+    (k, pose, _, _, converged, aborted, hist) = \
+        jax.lax.while_loop(cond, body, init)
+    H_last = hist.H[jnp.maximum(k - 1, 0)]
+
+    # ---------------- pass 2: batched telemetry reconstruction -----------
+    if params.full_telemetry:
+        def telemetry_row(args):
+            h, executed_k = args
+            ana = analyze(h.H, detection, params.thresholds)
+            dx, sinfo = solve(h.H, h.g, handling, ana, params.thresholds,
+                              telemetry=True)
+            too_few = h.num_valid < params.min_effective_points
+            abort_now = too_few | ~jnp.all(jnp.isfinite(dx))
+            dx = jnp.where(abort_now, jnp.zeros_like(dx), dx)
+            pose_new = jnp.where(abort_now, h.pose, h.pose + dx)
+            T_new = se3.pose6d_to_matrix(pose_new)
+            te, re = se3.pose_error(T_gt, T_new)
+            nanify = lambda x: jnp.where(
+                executed_k, x, jnp.full_like(x, jnp.nan))
+            return IterationLog(
+                executed=executed_k & ~too_few,
+                effective_points=jnp.where(executed_k, h.num_valid, 0
+                                           ).astype(jnp.int32),
+                rmse=nanify(h.rmse), fitness=nanify(h.fitness),
+                objective=nanify(h.objective),
+                gradient=nanify(-h.g), dx=nanify(dx), transform=nanify(T_new),
+                trans_error=nanify(te), rot_error_deg=nanify(re),
+                eigenvalues_full=nanify(ana.eigenvalues_full),
+                singular_values=nanify(ana.singular_values),
+                lambda_schur_rot=nanify(ana.lambda_schur_rot),
+                lambda_schur_trans=nanify(ana.lambda_schur_trans),
+                V_schur_rot=nanify(ana.V_schur_rot),
+                V_schur_trans=nanify(ana.V_schur_trans),
+                lambda_diag_rot=nanify(ana.lambda_diag_rot),
+                lambda_diag_trans=nanify(ana.lambda_diag_trans),
+                cond_full=nanify(ana.cond_full),
+                cond_schur_rot=nanify(ana.cond_schur_rot),
+                cond_schur_trans=nanify(ana.cond_schur_trans),
+                cond_diag_rot=nanify(ana.cond_diag_rot),
+                cond_diag_trans=nanify(ana.cond_diag_trans),
+                cond_full_sub_rot=nanify(ana.cond_full_sub_rot),
+                cond_full_sub_trans=nanify(ana.cond_full_sub_trans),
+                is_degenerate=ana.is_degenerate & executed_k,
+                degenerate_mask=ana.degenerate_mask & executed_k,
+                pcg_iterations=jnp.where(executed_k, sinfo.pcg_iterations,
+                                         -1).astype(jnp.int32),
+                pcg_residual=nanify(sinfo.pcg_residual),
+                cond_PH=nanify(sinfo.cond_PH),
+                P_preconditioner=nanify(sinfo.P_preconditioner),
+                W_adaptive=nanify(sinfo.W_adaptive),
+            )
+
+        executed = jnp.arange(I) < k
+        log = jax.vmap(telemetry_row)((hist, executed))
+    else:
+        log = _empty_log(I, dtype)
 
     # Euler covariance -> Lie (icp_test_runner.cpp:2696-2727)
     w_h, V_h = linalg.symmetric_eigh(H_last)

@@ -156,11 +156,6 @@ def analyze(H, method: DetectionMethod,
     H_Rt = H[:3, 3:]
     H_tR = H[3:, :3]
 
-    w_diag_rot, _ = linalg.symmetric_eigh(H_RR)
-    w_diag_trans, _ = linalg.symmetric_eigh(H_tt)
-    cond_diag_rot = linalg.condition_number(w_diag_rot)
-    cond_diag_trans = linalg.condition_number(w_diag_trans)
-
     # Schur complements (icp_test_runner.cpp:2443-2459) with invertibility
     # guard in the style of FullPivLU::isInvertible.
     inv_tt, det_tt = linalg.inv_3x3(H_tt)
@@ -171,8 +166,15 @@ def analyze(H, method: DetectionMethod,
                  (jnp.abs(det_rr) > _DET_REL_EPS * scale_rr)
     S_R = H_RR - H_Rt @ inv_tt @ H_tR
     S_t = H_tt - H_tR @ inv_rr @ H_Rt
-    w_schur_rot, V_schur_rot = linalg.symmetric_eigh(S_R)
-    w_schur_trans, V_schur_trans = linalg.symmetric_eigh(S_t)
+
+    # one batched 3x3 eigensolve covers both diagonal blocks and both Schur
+    # complements -- sequential-stage latency on TPU is batch-independent
+    w3, V3 = linalg.symmetric_eigh(jnp.stack([H_RR, H_tt, S_R, S_t]))
+    w_diag_rot, w_diag_trans = w3[0], w3[1]
+    cond_diag_rot = linalg.condition_number(w_diag_rot)
+    cond_diag_trans = linalg.condition_number(w_diag_trans)
+    w_schur_rot, V_schur_rot = w3[2], V3[2]
+    w_schur_trans, V_schur_trans = w3[3], V3[3]
     inf = jnp.asarray(jnp.inf, dtype)
     nan3 = jnp.full(3, jnp.nan, dtype)
     cond_schur_rot = jnp.where(invertible,

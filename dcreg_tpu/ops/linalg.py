@@ -26,76 +26,80 @@ from ..utils import precise_jit
 # a 6x6 drives off-diagonal mass to ~eps * ||A|| even for cond ~ 1e12.
 _SWEEPS = {3: 6, 6: 8}
 
+# Tournament (round-robin) rotation schedules: each ROUND is a set of
+# DISJOINT index pairs whose Givens rotations commute, so one round applies
+# as a single orthogonal 6x6 (or 3x3) matrix -- 5 sequential stages per 6x6
+# sweep instead of 15.  Latency, not flops, is what tiny ops cost on TPU.
+_SCHEDULES = {
+    3: [[(0, 1)], [(0, 2)], [(1, 2)]],
+    6: [
+        [(0, 5), (1, 4), (2, 3)],
+        [(0, 4), (3, 5), (1, 2)],
+        [(0, 3), (2, 4), (1, 5)],
+        [(0, 2), (1, 3), (4, 5)],
+        [(0, 1), (2, 5), (3, 4)],
+    ],
+}
 
-def _jacobi_rotation(A, V, ep, eq):
-    """One Givens rotation in the plane spanned by one-hot vectors (ep, eq),
-    applied symmetrically; returns (A', V').
 
-    Using one-hot outer products instead of scatter keeps the loop body a
-    single compiled trace for every (p, q) pair -- compile time matters.
-    """
-    app = jnp.einsum('...i,...ij,...j->...', ep, A, ep)
-    aqq = jnp.einsum('...i,...ij,...j->...', eq, A, eq)
-    apq = jnp.einsum('...i,...ij,...j->...', ep, A, eq)
-    # Golub & Van Loan 8.4: tau = (aqq - app) / (2 apq); the smaller root of
-    # t^2 + 2 tau t - 1 = 0 gives the rotation with |theta| <= pi/4.
-    diff = aqq - app
-    nonzero = jnp.abs(apq) > 0.0
-    tau = jnp.where(nonzero, diff / jnp.where(nonzero, 2.0 * apq, 1.0), 0.0)
-    # hypot is overflow-safe: tau^2 can overflow f32 on TPU (where f64 math
-    # silently degrades to f32) for near-converged off-diagonal entries.
-    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.hypot(jnp.ones_like(tau), tau))
-    t = jnp.where(tau == 0.0, 1.0, t)  # tau==0 -> theta = pi/4
-    t = jnp.where(nonzero, t, 0.0)
-    c = 1.0 / jnp.sqrt(1.0 + t * t)
-    s = t * c
+def _round_rotation(A, V, pairs):
+    """Apply one tournament round (disjoint static pairs) of Jacobi
+    rotations as a single composite orthogonal transform."""
     n = A.shape[-1]
-    # G = I + (c-1)(ep ep^T + eq eq^T) + s (ep eq^T - eq ep^T)
-    Ppq = ep[..., :, None] * ep[..., None, :] + eq[..., :, None] * eq[..., None, :]
-    Spq = ep[..., :, None] * eq[..., None, :] - eq[..., :, None] * ep[..., None, :]
-    eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
-    G = eye + (c - 1.0)[..., None, None] * Ppq + s[..., None, None] * Spq
+    dtype = A.dtype
+    cs_diag = [None] * n   # per-index diagonal entry of G
+    G = jnp.zeros(A.shape[:-2] + (n, n), dtype)
+    for (p, q) in pairs:
+        app = A[..., p, p]
+        aqq = A[..., q, q]
+        apq = A[..., p, q]
+        # Golub & Van Loan 8.4: smaller root of t^2 + 2 tau t - 1 = 0
+        nonzero = jnp.abs(apq) > 0.0
+        tau = jnp.where(nonzero,
+                        (aqq - app) / jnp.where(nonzero, 2.0 * apq, 1.0), 0.0)
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.hypot(jnp.ones_like(tau), tau))
+        t = jnp.where(tau == 0.0, 1.0, t)
+        t = jnp.where(nonzero, t, 0.0)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+        G = G.at[..., p, p].set(c).at[..., q, q].set(c)
+        G = G.at[..., p, q].set(s).at[..., q, p].set(-s)
+        cs_diag[p] = cs_diag[q] = True
+    for i in range(n):
+        if cs_diag[i] is None:
+            G = G.at[..., i, i].set(jnp.ones(A.shape[:-2], dtype))
     A_new = jnp.swapaxes(G, -1, -2) @ A @ G
-    # exact annihilation of the (p, q) entries to kill fp residue
-    apq_new = jnp.einsum('...i,...ij,...j->...', ep, A_new, eq)
-    sym = ep[..., :, None] * eq[..., None, :] + eq[..., :, None] * ep[..., None, :]
-    A_new = A_new - apq_new[..., None, None] * sym
+    # exact annihilation of the rotated pairs kills fp residue
+    for (p, q) in pairs:
+        A_new = A_new.at[..., p, q].set(0.0).at[..., q, p].set(0.0)
     V_new = V @ G
     return A_new, V_new
 
 
 @precise_jit(static_argnames=("sweeps",))
 def symmetric_eigh(A, sweeps: int | None = None):
-    """Eigendecomposition of a symmetric matrix via cyclic Jacobi.
+    """Eigendecomposition of a symmetric matrix via tournament-ordered
+    cyclic Jacobi, fully unrolled (static schedule).
 
     Returns (eigenvalues ascending, eigenvectors as columns), matching the
     ordering convention of Eigen::SelfAdjointEigenSolver that the reference's
     recorded artifacts use (eigenvalues sorted small -> large).
 
-    A: (..., n, n) symmetric.  n must be a static small integer.  The whole
-    rotation schedule runs as ONE fori_loop body (a single compiled rotation
-    with dynamic plane selection) -- minimal compile time, and the matrices
-    are so small the redundant flops are irrelevant.
+    A: (..., n, n) symmetric, n in {3, 6} (others fall back to an all-pairs
+    schedule).  Batched over leading axes -- batch every independent
+    decomposition into ONE call: sequential-stage latency is the cost driver
+    on TPU, and it is batch-size-independent.
     """
     n = A.shape[-1]
     if sweeps is None:
         sweeps = _SWEEPS.get(n, 10)
+    schedule = _SCHEDULES.get(
+        n, [[(p, q)] for p in range(n - 1) for q in range(p + 1, n)])
     A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
     V = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
-
-    pairs = jnp.array([(p, q) for p in range(n - 1) for q in range(p + 1, n)],
-                      dtype=jnp.int32)
-    n_pairs = pairs.shape[0]
-    eye = jnp.eye(n, dtype=A.dtype)
-
-    def body(k, carry):
-        A, V = carry
-        pq = pairs[k % n_pairs]
-        ep = eye[pq[0]]
-        eq = eye[pq[1]]
-        return _jacobi_rotation(A, V, ep, eq)
-
-    A, V = jax.lax.fori_loop(0, sweeps * n_pairs, body, (A, V))
+    for _ in range(sweeps):
+        for pairs in schedule:
+            A, V = _round_rotation(A, V, pairs)
     w = jnp.diagonal(A, axis1=-2, axis2=-1)
     order = jnp.argsort(w, axis=-1)
     w_sorted = jnp.take_along_axis(w, order, axis=-1)

@@ -6,9 +6,17 @@ stubbed PRECONDITIONED_CG path (dcreg.hpp:279-287, icp_test_runner.cpp:
 recorded PCG telemetry (fig18 pcg.txt: ~7 iterations, cond(H)~366 ->
 cond(PH)~43 with kappa_target=10).
 
-All handlers are branchless fixed-shape jnp; the handling method is a static
-enum resolved at trace time.  Each returns (dx, extras) where extras carries
-solver telemetry (PCG iterations, preconditioner) for the log pipeline.
+TPU latency design: every handler REUSES the 6x6 EVD already computed by
+``degeneracy.analyze`` -- the whole solve dispatch performs at most ONE
+additional 6x6 eigendecomposition (the cond(PH) telemetry, skippable via
+``telemetry=False``), and the PCG loop is fully unrolled with a convergence
+mask (a ``while_loop`` would serialize host-visible trips; unrolled stages
+fuse).  H + gamma*I and the spectral pseudo-inverses share H's eigenbasis,
+so direct/SR/TSVD/TReg solves are pure (6,) vector arithmetic on the
+existing spectrum.
+
+All handlers are branchless fixed-shape jnp; the handling method may be a
+static enum or a traced int code.  Each returns (dx, SolveInfo extras).
 """
 from __future__ import annotations
 
@@ -33,39 +41,30 @@ class SolveInfo(NamedTuple):
     cond_PH: jax.Array            # () cond of preconditioned system (nan unless PCG)
 
 
-def _default_info(dtype):
-    return SolveInfo(P_preconditioner=jnp.eye(6, dtype=dtype),
-                     W_adaptive=jnp.zeros((6, 6), dtype),
-                     pcg_iterations=jnp.asarray(-1, jnp.int32),
-                     pcg_residual=jnp.asarray(jnp.nan, dtype),
-                     cond_PH=jnp.asarray(jnp.nan, dtype))
+def _spectral_solve(w, V, g):
+    """x = V diag(1/w) V^T g -- the shared-eigenbasis direct solve.
+
+    Exact-arithmetic equivalent of the reference's colPivHouseholderQr on a
+    symmetric H (dcreg.hpp:250-253); near-singular inputs produce a
+    large-magnitude solution, mirroring QR's behavior."""
+    safe = jnp.abs(w) > 1e-300
+    inv_w = jnp.where(safe, 1.0 / jnp.where(safe, w, 1.0), 0.0)
+    return V @ (inv_w * (jnp.swapaxes(V, -1, -2) @ g[..., None])[..., 0])
 
 
-def _svd_pinv_solve(analysis: DegeneracyAnalysis, g, mask=None):
-    """x = V Sigma'^-1 U^T g over the PSD SVD, optionally dropping masked
-    directions.  ``mask`` is in eigen-index-ascending order; the SVD order is
-    descending, so it is flipped here."""
-    sv = analysis.singular_values                 # descending
-    U = analysis.eigenvectors_full[:, ::-1]       # columns matching sv
-    keep = sv > _EPS_SV
-    if mask is not None:
-        keep = keep & ~mask[::-1]
-    inv = jnp.where(keep, 1.0 / jnp.where(keep, sv, 1.0), 0.0)
-    return U @ (inv * (U.T @ g))
+def solve_none(analysis: DegeneracyAnalysis, g):
+    """Plain dense solve (dcreg.hpp:250-253) on the cached spectrum."""
+    return _spectral_solve(analysis.eigenvalues_full,
+                           analysis.eigenvectors_full, g)
 
 
-def solve_none(H, g):
-    """Plain dense solve (dcreg.hpp:250-253)."""
-    return linalg.solve_qr_6x6(H, g)
-
-
-def solve_solution_remapping(H, g, analysis: DegeneracyAnalysis):
+def solve_solution_remapping(analysis: DegeneracyAnalysis, g):
     """LOAM solution remapping (dcreg.hpp:195-221): plain solve, then project
     the update onto the non-degenerate eigenvector span.  (The Euler engine's
     inline variant at icp_test_runner.cpp:2556-2580 uses an SVD pinv for the
     initial solve; the SO3 engine -- which produced the archived goldens --
     routes through dcreg.hpp's plain-solve version.)"""
-    x = linalg.solve_qr_6x6(H, g)
+    x = solve_none(analysis, g)
     V = analysis.eigenvectors_full
     keep = ~analysis.degenerate_mask
     # P_projector = sum_i keep_i v_i v_i^T ; x <- P x  (zero if none kept)
@@ -77,7 +76,7 @@ def solve_solution_remapping(H, g, analysis: DegeneracyAnalysis):
                      jnp.zeros_like(x), x_out)
 
 
-def solve_truncated_svd(H, g, analysis: DegeneracyAnalysis):
+def solve_truncated_svd(analysis: DegeneracyAnalysis, g):
     """Truncated SVD pseudo-inverse dropping masked/small singular values
     (dcreg.hpp:223-248).
 
@@ -96,136 +95,141 @@ def solve_truncated_svd(H, g, analysis: DegeneracyAnalysis):
     return jnp.where(jnp.any(keep), x, jnp.zeros_like(x))
 
 
-def solve_standard_regularization(H, g, analysis: DegeneracyAnalysis,
+def solve_standard_regularization(analysis: DegeneracyAnalysis, g,
                                   gamma: float):
-    """Tikhonov H + gamma I when degenerate (dcreg.hpp:177-184)."""
-    H_reg = H + jnp.where(analysis.is_degenerate, gamma, 0.0) * jnp.eye(
-        6, dtype=H.dtype)
-    return linalg.solve_qr_6x6(H_reg, g)
+    """Tikhonov H + gamma I when degenerate (dcreg.hpp:177-184).  H + gamma I
+    shares H's eigenvectors, so this is the same spectral solve with a
+    shifted spectrum."""
+    shift = jnp.where(analysis.is_degenerate, gamma, 0.0)
+    return _spectral_solve(analysis.eigenvalues_full + shift,
+                           analysis.eigenvectors_full, g)
 
 
-def solve_adaptive_regularization(H, g, analysis: DegeneracyAnalysis,
-                                  alpha: float):
-    """ME-AReg ablation: H + W_adaptive with the targeted regularizer."""
-    W = adaptive_regularizer(analysis, alpha)
-    W = jnp.where(analysis.is_degenerate, W, jnp.zeros_like(W))
-    return linalg.solve_qr_6x6(H + W, g), W
-
-
-def pcg(H, g, P, max_iter: int, tol: float):
+def pcg_unrolled(H, g, P, max_iter: int, tol: float, x_extra=None):
     """Preconditioned conjugate gradient on H dx = g (stub solvePCG,
     dcreg.hpp:279-287; max_iter=10, tol=1e-6 from config/icp.yaml:73-76).
 
-    P is the (SPD) preconditioner operator approximating H^-1.  Runs a
-    fixed-shape while_loop with an `active` flag so converged systems stop
-    updating -- matching a host loop's early exit semantics bit-for-bit
-    while staying jittable.  Returns (x, iterations, final residual norm).
-    """
+    Fully unrolled with a ``done`` mask: converged systems stop updating --
+    matching a host loop's early-exit semantics bit-for-bit while compiling
+    to ``max_iter`` fused stages instead of a serialized while_loop.
+    Returns (x, iterations, final residual norm)."""
     dtype = H.dtype
-    x0 = jnp.zeros(6, dtype)
-    r0 = g
-    z0 = P @ r0
-    p0 = z0
-    rz0 = r0 @ z0
+    x = jnp.zeros(6, dtype)
+    r = g
+    z = P @ r
+    p = z
+    rz = r @ z
     # reference tolerance semantics: iterate until |r| <= tol * |g|
-    g_norm = jnp.linalg.norm(g)
-    thresh = tol * jnp.maximum(g_norm, 1e-30)
-
-    def cond_fn(state):
-        k, x, r, z, p, rz, done = state
-        return (k < max_iter) & ~done
-
-    def body_fn(state):
-        k, x, r, z, p, rz, done = state
+    thresh = tol * jnp.maximum(jnp.linalg.norm(g), 1e-30)
+    done = jnp.asarray(False)
+    iters = jnp.asarray(0, jnp.int32)
+    for _ in range(max_iter):
         Hp = H @ p
         pHp = p @ Hp
         safe = jnp.abs(pHp) > 1e-30
-        alpha = jnp.where(safe, rz / jnp.where(safe, pHp, 1.0), 0.0)
-        x_new = x + alpha * p
+        alpha = jnp.where(safe & ~done,
+                          rz / jnp.where(safe, pHp, 1.0), 0.0)
+        x = x + alpha * p
         r_new = r - alpha * Hp
         z_new = P @ r_new
         rz_new = r_new @ z_new
-        beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / jnp.where(jnp.abs(rz) > 1e-30, rz, 1.0), 0.0)
+        beta = jnp.where(jnp.abs(rz) > 1e-30,
+                         rz_new / jnp.where(jnp.abs(rz) > 1e-30, rz, 1.0),
+                         0.0)
         p_new = z_new + beta * p
-        done_new = (jnp.linalg.norm(r_new) <= thresh) | ~safe
-        return (k + 1, x_new, r_new, z_new, p_new, rz_new, done_new)
+        step_done = (jnp.linalg.norm(r_new) <= thresh) | ~safe
+        iters = iters + jnp.where(done, 0, 1)
+        r = jnp.where(done, r, r_new)
+        z = jnp.where(done, z, z_new)
+        p = jnp.where(done, p, p_new)
+        rz = jnp.where(done, rz, rz_new)
+        done = done | step_done
+    return x, iters, jnp.linalg.norm(r)
 
-    k, x, r, z, p, rz, done = jax.lax.while_loop(
-        cond_fn, body_fn, (jnp.asarray(0, jnp.int32), x0, r0, z0, p0, rz0,
-                           jnp.asarray(False)))
-    return x, k, jnp.linalg.norm(r)
+
+# backwards-compatible alias (tests / external callers)
+def pcg(H, g, P, max_iter: int, tol: float):
+    return pcg_unrolled(H, g, P, max_iter, tol)
 
 
-def solve_preconditioned_cg(H, g, analysis: DegeneracyAnalysis,
-                            thresholds: DegeneracyThresholds):
-    """DCReg's solve: targeted preconditioner + PCG when degenerate, plain
-    dense solve otherwise (dcreg.hpp:186-193 structure).
+def _schur_sqrt_precond(analysis: DegeneracyAnalysis, kappa_target: float):
+    """P^(1/2) in closed form from the Schur EVDs (no extra eigensolve):
+    sqrtP = blockdiag(V diag(1/sqrt(clamp(lam))) V^T) per 3x3 subspace."""
+    dtype = analysis.eigenvalues_full.dtype
 
-    Also returns cond(P^1/2 H P^1/2) telemetry (the pcg.txt "cond_PH"
-    column): computed via the similar matrix P H whose spectrum matches the
-    symmetric preconditioned operator."""
-    dtype = H.dtype
-    P = targeted_preconditioner(analysis, thresholds.kappa_target)
-    x_pcg, iters, resid = pcg(H, g, P, thresholds.pcg_max_iter,
-                              thresholds.pcg_tolerance)
-    x_direct = linalg.solve_qr_6x6(H, g)
-    use_pcg = analysis.is_degenerate
-    x = jnp.where(use_pcg, x_pcg, x_direct)
-    # telemetry: eigenvalues of PH (similar to symmetric preconditioned op)
-    PH = P @ H
-    # PH is similar to P^{1/2} H P^{1/2} (symmetric PSD): use symmetric form
-    # S = L^T H L would need a factor of P; cheaper equivalent for telemetry:
-    # eigh of (PH + (PH)^T)/2 is NOT similar -- instead use the symmetric
-    # product in the P-inner-product via two-sided: sqrt via eigh of P.
-    wp, Vp = linalg.symmetric_eigh(P)
-    sqrtP = (Vp * jnp.sqrt(jnp.maximum(wp, 0.0))[None, :]) @ Vp.T
-    M = sqrtP @ H @ sqrtP
-    wm, _ = linalg.symmetric_eigh(M)
-    cond_PH = linalg.condition_number(wm)
-    info = SolveInfo(
-        P_preconditioner=P,
-        W_adaptive=jnp.zeros((6, 6), dtype),
-        pcg_iterations=jnp.where(use_pcg, iters, jnp.asarray(-1, jnp.int32)),
-        pcg_residual=jnp.where(use_pcg, resid, jnp.asarray(jnp.nan, dtype)),
-        cond_PH=cond_PH)
-    return x, info
+    def block(lam, V):
+        lam_c = jnp.maximum(lam, lam[2] / kappa_target)
+        return (V * (1.0 / jnp.sqrt(jnp.maximum(lam_c, 1e-30)))[None, :]) @ V.T
+
+    S_rot = block(analysis.lambda_schur_rot, analysis.V_schur_rot)
+    S_trans = block(analysis.lambda_schur_trans, analysis.V_schur_trans)
+    Z = jnp.zeros((3, 3), dtype)
+    S = jnp.block([[S_rot, Z], [Z, S_trans]])
+    return jnp.where(analysis.schur_valid & jnp.all(jnp.isfinite(S)),
+                     S, jnp.eye(6, dtype=dtype))
 
 
 def solve(H, g, method: HandlingMethod, analysis: DegeneracyAnalysis,
-          thresholds: DegeneracyThresholds = DegeneracyThresholds()):
+          thresholds: DegeneracyThresholds = DegeneracyThresholds(),
+          telemetry: bool = True):
     """Unified dispatch.  Returns (dx, SolveInfo).
 
     ``method`` may be a static HandlingMethod enum or a traced int code
-    (see degeneracy.handling_code).  Every handler is a handful of 6x6 ops,
-    so all candidates are computed and the result selected -- one compile
-    covers the entire method matrix, and a future vmap over method codes
-    runs all methods concurrently on one chip.
+    (see degeneracy.handling_code).  Every handler reduces to vector
+    arithmetic on the cached spectrum (plus the unrolled PCG stages), so all
+    candidates are computed and the result selected -- one compile covers
+    the entire method matrix, and vmap over method codes runs all methods
+    concurrently on one chip.
+
+    ``telemetry=False`` (static) skips the cond(PH) eigendecomposition --
+    the only remaining non-essential 6x6 EVD on the iteration path.
     """
     from .degeneracy import handling_code
     dtype = H.dtype
-    info = _default_info(dtype)
     code = handling_code(method)
 
-    x_none = solve_none(H, g)
-    x_sr = solve_solution_remapping(H, g, analysis)
-    x_tsvd = solve_truncated_svd(H, g, analysis)
-    x_treg = solve_standard_regularization(H, g, analysis,
+    x_none = solve_none(analysis, g)
+    x_sr = solve_solution_remapping(analysis, g)
+    x_tsvd = solve_truncated_svd(analysis, g)
+    x_treg = solve_standard_regularization(analysis, g,
                                            thresholds.std_reg_gamma)
-    x_areg, W = solve_adaptive_regularization(H, g, analysis,
-                                              thresholds.adaptive_reg_alpha)
-    x_pcg, pcg_info = solve_preconditioned_cg(H, g, analysis, thresholds)
+
+    # ME-AReg ablation: (H + W) x = g.  W is built in the Schur eigenbases,
+    # so H + W shares no basis with H; solve with the (clamped) targeted
+    # preconditioner via unrolled PCG -- P approximates (H + W)^-1 by
+    # construction, so convergence is fast and no extra EVD is needed.
+    W = adaptive_regularizer(analysis, thresholds.adaptive_reg_alpha)
+    W = jnp.where(analysis.is_degenerate, W, jnp.zeros_like(W))
+    P = targeted_preconditioner(analysis, thresholds.kappa_target)
+    x_areg, _, _ = pcg_unrolled(H + W, g, P, 2 * thresholds.pcg_max_iter,
+                                thresholds.pcg_tolerance)
+
+    # DCReg proper: targeted preconditioner + PCG when degenerate, plain
+    # dense solve otherwise (dcreg.hpp:186-193 structure).
+    x_pcg_raw, pcg_iters, pcg_resid = pcg_unrolled(
+        H, g, P, thresholds.pcg_max_iter, thresholds.pcg_tolerance)
+    use_pcg = analysis.is_degenerate
+    x_pcg = jnp.where(use_pcg, x_pcg_raw, x_none)
+
+    if telemetry:
+        # cond(P^1/2 H P^1/2) -- the pcg.txt "cond_PH" column -- via the
+        # symmetric preconditioned operator (sqrtP in closed form).
+        sqrtP = _schur_sqrt_precond(analysis, thresholds.kappa_target)
+        wm, _ = linalg.symmetric_eigh(sqrtP @ H @ sqrtP)
+        cond_PH = linalg.condition_number(wm)
+    else:
+        cond_PH = jnp.asarray(jnp.nan, dtype)
 
     xs = jnp.stack([x_none, x_sr, x_tsvd, x_treg, x_areg, x_pcg])
     x = xs[code]
     is_areg = code == 4
     is_pcg = code == 5
     info = SolveInfo(
-        P_preconditioner=jnp.where(is_pcg, pcg_info.P_preconditioner,
-                                   info.P_preconditioner),
-        W_adaptive=jnp.where(is_areg, W, info.W_adaptive),
-        pcg_iterations=jnp.where(is_pcg, pcg_info.pcg_iterations,
-                                 info.pcg_iterations),
-        pcg_residual=jnp.where(is_pcg, pcg_info.pcg_residual,
-                               info.pcg_residual),
-        cond_PH=jnp.where(is_pcg, pcg_info.cond_PH, info.cond_PH))
+        P_preconditioner=jnp.where(is_pcg, P, jnp.eye(6, dtype=dtype)),
+        W_adaptive=jnp.where(is_areg, W, jnp.zeros((6, 6), dtype)),
+        pcg_iterations=jnp.where(is_pcg & use_pcg, pcg_iters,
+                                 jnp.asarray(-1, jnp.int32)),
+        pcg_residual=jnp.where(is_pcg & use_pcg, pcg_resid,
+                               jnp.asarray(jnp.nan, dtype)),
+        cond_PH=jnp.where(is_pcg, cond_PH, jnp.asarray(jnp.nan, dtype)))
     return x, info

@@ -188,7 +188,8 @@ def sharded_icp_register(mesh: Mesh, source_xyz, target_xyz, R0, t0,
             sysm = GNSystem(H=H, g=g, num_valid=n_valid, rmse=rmse,
                             fitness=fitness, objective=obj)
             analysis = analyze(H, det, params.thresholds)
-            dx, _ = solve(H, g, hand, analysis, params.thresholds)
+            dx, _ = solve(H, g, hand, analysis, params.thresholds,
+                          telemetry=params.full_telemetry)
             return sysm, dx
 
         def loop_body(state):

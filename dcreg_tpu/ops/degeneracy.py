@@ -311,6 +311,24 @@ def targeted_preconditioner(analysis: DegeneracyAnalysis,
                      P, jnp.eye(6, dtype=dtype))
 
 
+def preconditioner_axis_aligned_view(analysis: DegeneracyAnalysis,
+                                     kappa_target: float) -> jax.Array:
+    """The targeted preconditioner with each 3x3 block's coordinates
+    permuted into axis-aligned order -- the exact convention of the
+    recorded artifact (degeneracy_analysis_first_iter.txt "Ours" block,
+    verified to all printed digits: the private implementation logs
+    P with block rows/cols indexed by the alignAndOrthonormalize order).
+    The PCG solve itself uses the world-frame ``targeted_preconditioner``;
+    this view exists for writer parity."""
+    P = targeted_preconditioner(analysis, kappa_target)
+    rot = align_to_axes(analysis.V_schur_rot, analysis.lambda_schur_rot)
+    tr = align_to_axes(analysis.V_schur_trans, analysis.lambda_schur_trans)
+    Pr = P[:3, :3][rot.order][:, rot.order]
+    Pt = P[3:, 3:][tr.order][:, tr.order]
+    Z = jnp.zeros((3, 3), P.dtype)
+    return jnp.block([[Pr, Z], [Z, Pt]])
+
+
 def adaptive_regularizer(analysis: DegeneracyAnalysis,
                          alpha: float) -> jax.Array:
     """ME-AReg ablation (enum utils.hpp:117, ADAPTIVE_REG_ALPHA=10,

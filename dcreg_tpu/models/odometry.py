@@ -1,0 +1,201 @@
+"""Scan-to-map odometry: sequential registration of a LiDAR stream against
+a prior map -- the workload of the reference's long-duration experiments
+(supp.pdf Tables II/III: Stairs/Corridor/Building/Cave/ParkingLot, prior
+maps of 53M-241M points, 1-10k points per scan).
+
+The reference's public repo only ships the per-pair test bench; its SLAM
+integration (which produced the TUM trajectories under results/) is
+unreleased.  This module provides that missing layer TPU-natively:
+
+  * the map is indexed ONCE into a voxel grid (ops/voxel_grid.py) -- the
+    analogue of ICPContext::setTargetCloud's KD-tree build;
+  * frames stream through one ``lax.scan``; each step runs a fixed-trip
+    masked DCReg ICP (Schur detection + targeted PCG) against the map,
+    seeded by a constant-velocity motion model;
+  * per-frame outputs (pose, iterations, rmse, degeneracy mask, Schur
+    conds) stack into trajectory telemetry for the TUM/evo toolchain
+    (io/tum.py).
+
+Scale-out: for maps beyond one chip's HBM, combine with
+parallel/sharded.py's map axis (each chip holds a shard of the voxel grid
+and the all_gather candidate merge applies unchanged).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import se3
+from ..ops.correspondence import CorrespondenceParams, fit_planes
+from ..ops.degeneracy import (DegeneracyThresholds, analyze, detection_code,
+                              handling_code)
+from ..ops.gauss_newton import GNSystem
+from ..ops.solvers import solve
+from ..ops.voxel_grid import VoxelGrid, build_voxel_grid, voxel_knn
+from ..utils import precise_jit
+
+
+class OdometryParams(NamedTuple):
+    icp_iterations: int = 8          # fixed-trip masked GN iterations
+    convergence_thresh_trans: float = 1e-3
+    convergence_thresh_rot: float = 1e-4
+    min_effective_points: int = 10
+    corr: CorrespondenceParams = CorrespondenceParams()
+    thresholds: DegeneracyThresholds = DegeneracyThresholds()
+    capacity: int = 32               # voxel bucket capacity per query voxel
+    chunk: int = 1024
+    use_constant_velocity: bool = True
+    use_weight_derivative: bool = True
+
+
+class OdometryResult(NamedTuple):
+    poses: jax.Array            # (F, 4, 4) world_T_body per frame
+    iterations: jax.Array       # (F,) int32
+    converged: jax.Array        # (F,) bool
+    rmse: jax.Array             # (F,)
+    fitness: jax.Array          # (F,)
+    effective_points: jax.Array  # (F,) int32
+    is_degenerate: jax.Array    # (F,) bool
+    degenerate_mask: jax.Array  # (F, 6) bool
+    cond_schur_rot: jax.Array   # (F,)
+    cond_schur_trans: jax.Array  # (F,)
+
+
+def _register_to_map(scan, scan_valid, grid: VoxelGrid, R0, t0, det, hand,
+                     params: OdometryParams):
+    """Fixed-trip masked DCReg ICP of one scan against the indexed map."""
+    dtype = scan.dtype
+    cp = params.corr
+    k = cp.k
+
+    def one_iteration(R, t):
+        p_w = scan @ R.T + t
+        sq_d, idx = voxel_knn(grid, p_w, k=k, capacity=params.capacity,
+                              chunk=params.chunk)
+        in_radius = sq_d[:, k - 1] < cp.search_radius ** 2
+        neigh = grid.points[idx]
+        normal, d_off, fit_ok = fit_planes(neigh)
+        plane_dist = jnp.einsum("nkj,nj->nk", neigh, normal) + d_off[:, None]
+        plane_ok = jnp.max(plane_dist * plane_dist, axis=-1) \
+            < cp.max_plane_thickness ** 2
+        residual = jnp.einsum("nj,nj->n", p_w, normal) + d_off
+        s = jnp.maximum(0.0, 1.0 - cp.weight_slope * jnp.abs(residual))
+        valid = (in_radius & fit_ok & plane_ok & (s > cp.min_weight)
+                 & scan_valid)
+        s = jnp.where(valid, s, 0.0)
+        if params.use_weight_derivative:
+            on_ramp = (s > 0.0) & (s < 1.0)
+            ds_dr = jnp.where(on_ramp,
+                              -cp.weight_slope * jnp.sign(residual), 0.0)
+            row_scale = jnp.where(valid, s + residual * ds_dr, 0.0)
+        else:
+            row_scale = s
+        nR = normal @ R
+        Jw = jnp.cross(scan, nR)
+        J = jnp.concatenate([Jw, nR], axis=-1) * row_scale[:, None]
+        b = -(s * residual)
+        H = J.T @ J
+        g = J.T @ b
+        n_valid = jnp.sum(valid.astype(jnp.int32))
+        raw_sq = jnp.where(valid, residual * residual, 0.0)
+        rmse = jnp.sqrt(jnp.sum(raw_sq) /
+                        jnp.maximum(n_valid, 1).astype(dtype))
+        n_src = jnp.maximum(jnp.sum(scan_valid.astype(jnp.int32)), 1)
+        fitness = jnp.sum(in_radius.astype(dtype)) / n_src.astype(dtype)
+        return H, g, n_valid, rmse, fitness
+
+    def body(i, carry):
+        R, t, active, n_done, _, _, _, ana_last = carry
+        H, g, n_valid, rmse, fitness = one_iteration(R, t)
+        analysis = analyze(H, det, params.thresholds)
+        dx, _ = solve(H, g, hand, analysis, params.thresholds,
+                      telemetry=False)
+        too_few = n_valid < params.min_effective_points
+        ok = active & ~too_few & jnp.all(jnp.isfinite(dx))
+        dx = jnp.where(ok, dx, jnp.zeros_like(dx))
+        R_new, t_new = se3.boxplus(R, t, dx)
+        conv = (jnp.linalg.norm(dx[:3]) < params.convergence_thresh_rot) & \
+               (jnp.linalg.norm(dx[3:]) < params.convergence_thresh_trans)
+        still = ok & ~conv
+        return (R_new, t_new, still, n_done + active.astype(jnp.int32),
+                rmse, fitness, n_valid, analysis)
+
+    H0, g0, n0, rmse0, fit0 = one_iteration(R0, t0)
+    ana0 = analyze(H0, det, params.thresholds)
+    init = (R0, t0, jnp.asarray(True), jnp.asarray(0, jnp.int32),
+            rmse0, fit0, n0, ana0)
+    R, t, active, n_done, rmse, fitness, n_valid, ana = jax.lax.fori_loop(
+        0, params.icp_iterations, body, init)
+    return (R, t, ~active, n_done, rmse, fitness, n_valid, ana)
+
+
+@precise_jit(static_argnames=("params",))
+def _odometry_impl(frames, frames_valid, grid: VoxelGrid, T0, det, hand,
+                   params: OdometryParams) -> OdometryResult:
+    dtype = frames.dtype
+    R_init, t_init = T0[:3, :3], T0[:3, 3]
+
+    def step(carry, frame):
+        R_prev, t_prev, R_prev2, t_prev2 = carry
+        scan, scan_valid = frame
+        if params.use_constant_velocity:
+            # T_pred = T_prev * (T_prev2^-1 * T_prev)
+            dR = R_prev2.T @ R_prev
+            dt = R_prev2.T @ (t_prev - t_prev2)
+            R_pred = R_prev @ dR
+            t_pred = R_prev @ dt + t_prev
+        else:
+            R_pred, t_pred = R_prev, t_prev
+        (R, t, conv, iters, rmse, fitness, n_valid, ana) = _register_to_map(
+            scan, scan_valid, grid, R_pred, t_pred, det, hand, params)
+        out = (se3.se3_matrix(R, t), iters, conv, rmse, fitness,
+               n_valid, ana.is_degenerate, ana.degenerate_mask,
+               ana.cond_schur_rot, ana.cond_schur_trans)
+        return (R, t, R_prev, t_prev), out
+
+    init = (R_init.astype(dtype), t_init.astype(dtype),
+            R_init.astype(dtype), t_init.astype(dtype))
+    _, outs = jax.lax.scan(step, init, (frames, frames_valid))
+    (poses, iters, conv, rmse, fitness, n_valid, is_deg, mask,
+     cs_rot, cs_trans) = outs
+    return OdometryResult(poses=poses, iterations=iters, converged=conv,
+                          rmse=rmse, fitness=fitness,
+                          effective_points=n_valid, is_degenerate=is_deg,
+                          degenerate_mask=mask, cond_schur_rot=cs_rot,
+                          cond_schur_trans=cs_trans)
+
+
+def run_odometry(frames, map_xyz, T0=None, detection="SCHUR_CONDITION_NUMBER",
+                 handling="PRECONDITIONED_CG",
+                 params: OdometryParams = OdometryParams(),
+                 frames_valid=None, map_valid=None,
+                 voxel_size=None) -> OdometryResult:
+    """Register a stream of frames (F, N, 3) against a prior map (M, 3).
+
+    detection / handling accept DetectionMethod/HandlingMethod enums, their
+    string names, or int codes.  Returns stacked per-frame telemetry.
+    """
+    from ..ops.degeneracy import DetectionMethod, HandlingMethod
+    if isinstance(detection, str):
+        detection = DetectionMethod[
+            detection if detection != "SCHUR_CONDITION_NUMBER"
+            else "SCHUR_CONDITION_NUMBER"]
+    if isinstance(handling, str):
+        handling = HandlingMethod[handling]
+    det = jnp.asarray(detection_code(detection), jnp.int32)
+    hand = jnp.asarray(handling_code(handling), jnp.int32)
+    frames = jnp.asarray(frames)
+    dtype = frames.dtype
+    if T0 is None:
+        T0 = jnp.eye(4, dtype=dtype)
+    if frames_valid is None:
+        frames_valid = jnp.ones(frames.shape[:2], bool)
+    if voxel_size is None:
+        voxel_size = params.corr.search_radius
+    grid = build_voxel_grid(jnp.asarray(map_xyz, dtype), voxel_size,
+                            valid=map_valid)
+    return _odometry_impl(frames, frames_valid, grid,
+                          jnp.asarray(T0, dtype), det, hand, params)

@@ -1,0 +1,119 @@
+"""Scan-to-map odometry + pose-graph + TUM metrics tests (synthetic GT)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dcreg_tpu.models.odometry import OdometryParams, run_odometry
+from dcreg_tpu.models.pose_graph import (PoseGraphEdges, make_edges,
+                                         optimize_pose_graph)
+from dcreg_tpu.io.tum import ate, registration_recall, save_tum, load_tum
+from dcreg_tpu.ops import se3
+
+
+def _make_world(seed=0, m=8000):
+    """A structured 'building' world: floor + two walls + bumps."""
+    rng = np.random.default_rng(seed)
+    floor = np.column_stack([rng.uniform(-15, 15, m // 2),
+                             rng.uniform(-15, 15, m // 2),
+                             rng.normal(0, 0.01, m // 2)])
+    wall1 = np.column_stack([rng.uniform(-15, 15, m // 4),
+                             np.full(m // 4, -5.0) + rng.normal(0, 0.01, m // 4),
+                             rng.uniform(0, 4, m // 4)])
+    wall2 = np.column_stack([np.full(m // 4, 8.0) + rng.normal(0, 0.01, m // 4),
+                             rng.uniform(-15, 15, m // 4),
+                             rng.uniform(0, 4, m // 4)])
+    return np.vstack([floor, wall1, wall2])
+
+
+def _gt_trajectory(F=6):
+    """A gentle arc of F poses."""
+    poses = []
+    for i in range(F):
+        yaw = 0.03 * i
+        t = np.array([0.4 * i, 0.1 * i, 0.0])
+        R = np.asarray(se3.exp_so3(jnp.asarray([0.0, 0.0, yaw])))
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        poses.append(T)
+    return np.asarray(poses)
+
+
+def test_odometry_tracks_ground_truth():
+    world = _make_world()
+    gt = _gt_trajectory(6)
+    rng = np.random.default_rng(1)
+    N = 1500
+    frames = []
+    for T in gt:
+        sel = world[rng.choice(world.shape[0], N, replace=False)]
+        # body frame scan: p_body = R^T (p_world - t) + noise
+        body = (sel - T[:3, 3]) @ T[:3, :3] + rng.normal(0, 0.004, (N, 3))
+        frames.append(body)
+    frames = jnp.asarray(np.asarray(frames), jnp.float64)
+
+    res = run_odometry(frames, jnp.asarray(world, jnp.float64),
+                       T0=jnp.asarray(gt[0], jnp.float64),
+                       params=OdometryParams(icp_iterations=8, capacity=64))
+    est = np.asarray(res.poses)
+    errs = [np.linalg.norm(est[i][:3, 3] - gt[i][:3, 3])
+            for i in range(len(gt))]
+    assert max(errs) < 0.05, errs
+    recall, _ = registration_recall(est, gt)
+    assert recall == 1.0
+    m = ate(est, gt, align=False)
+    assert m["rmse"] < 0.03
+
+
+def test_pose_graph_closes_drift():
+    """Odometry chain with drift + one loop-closure edge -> GN pulls the
+    trajectory back to GT."""
+    F = 10
+    gt = _gt_trajectory(F)
+    rng = np.random.default_rng(2)
+    # noisy odometry edges
+    edges_i, edges_j, Zs = [], [], []
+    for i in range(F - 1):
+        Z = np.linalg.inv(gt[i]) @ gt[i + 1]
+        noise = np.asarray(se3.exp_so3(jnp.asarray(
+            rng.normal(0, 0.01, 3))))
+        Zn = Z.copy()
+        Zn[:3, :3] = Z[:3, :3] @ noise
+        Zn[:3, 3] = Z[:3, 3] + rng.normal(0, 0.02, 3)
+        edges_i.append(i)
+        edges_j.append(i + 1)
+        Zs.append(Zn)
+    # exact loop closure first -> last
+    edges_i.append(0)
+    edges_j.append(F - 1)
+    Zs.append(np.linalg.inv(gt[0]) @ gt[F - 1])
+
+    # integrate noisy odometry as the initial guess
+    init = [gt[0]]
+    for k in range(F - 1):
+        init.append(init[-1] @ Zs[k])
+    init = jnp.asarray(np.asarray(init), jnp.float64)
+    drift0 = np.linalg.norm(np.asarray(init)[-1][:3, 3] - gt[-1][:3, 3])
+
+    edges = make_edges(np.asarray(edges_i), np.asarray(edges_j),
+                       jnp.asarray(np.asarray(Zs), jnp.float64))
+    # weight the loop closure strongly
+    info = np.ones((len(Zs), 1, 1)) * np.eye(6)
+    info[-1] *= 100.0
+    edges = edges._replace(info=jnp.asarray(info, jnp.float64))
+
+    res = optimize_pose_graph(init, edges)
+    opt = np.asarray(res.poses)
+    drift1 = np.linalg.norm(opt[-1][:3, 3] - gt[-1][:3, 3])
+    assert drift1 < drift0 * 0.5 + 1e-6, (drift0, drift1)
+    assert float(res.final_cost) < 1.0
+
+
+def test_tum_roundtrip(tmp_path):
+    gt = _gt_trajectory(5)
+    ts = np.arange(5, dtype=float)
+    p = tmp_path / "traj.txt"
+    save_tum(p, ts, gt)
+    ts2, poses2 = load_tum(p)
+    np.testing.assert_allclose(ts2, ts)
+    np.testing.assert_allclose(poses2, gt, atol=1e-6)

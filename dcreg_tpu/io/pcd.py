@@ -22,9 +22,21 @@ _TYPE_MAP = {("F", 4): "<f4", ("F", 8): "<f8",
              ("I", 1): "<i1", ("I", 2): "<i2", ("I", 4): "<i4"}
 
 
-def load_pcd(path):
+def load_pcd(path, prefer_native: bool = True):
     """Load a PCD file -> dict with 'xyz' (N, 3) float32 plus any extra
-    fields by name."""
+    fields by name.
+
+    Uses the C++ reader (io/native.py) when available -- the data-loader
+    tier of the framework, matching the reference's PCL C++ IO -- and
+    falls back to the pure-numpy parser otherwise (or for field layouts
+    the native reader doesn't cover, e.g. rgb)."""
+    if prefer_native:
+        try:
+            from . import native
+            if native.available():
+                return native.pcd_read_native(path)
+        except Exception:
+            pass
     with open(path, "rb") as f:
         raw = f.read()
     # parse header line by line

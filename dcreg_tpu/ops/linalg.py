@@ -42,14 +42,39 @@ _SCHEDULES = {
 }
 
 
+@functools.lru_cache(maxsize=None)
+def _round_constants(n: int, pairs, dtype_name: str):
+    """Compile-time basis matrices for a tournament round: G is assembled
+    from these by broadcast-multiply-add, so NO scatter ops reach XLA (each
+    .at[].set on a batched tiny matrix lowers to a full scatter on TPU --
+    hundreds of them made the 6x6 eigensolves the latency hotspot).
+
+    Returns plain numpy arrays (cached jnp arrays created under jit would
+    be trace-local constants and leak as tracers)."""
+    import numpy as np
+    dt = np.dtype(dtype_name)
+    eye_rest = np.eye(n, dtype=dt)
+    diag_basis, skew_basis = [], []
+    for (p, q) in pairs:
+        eye_rest[p, p] = eye_rest[q, q] = 0.0
+        D = np.zeros((n, n), dt); D[p, p] = D[q, q] = 1.0
+        S = np.zeros((n, n), dt); S[p, q] = 1.0; S[q, p] = -1.0
+        diag_basis.append(D)
+        skew_basis.append(S)
+    annihilate = np.ones((n, n), dt)
+    for (p, q) in pairs:
+        annihilate[p, q] = annihilate[q, p] = 0.0
+    return eye_rest, diag_basis, skew_basis, annihilate
+
+
 def _round_rotation(A, V, pairs):
     """Apply one tournament round (disjoint static pairs) of Jacobi
     rotations as a single composite orthogonal transform."""
     n = A.shape[-1]
-    dtype = A.dtype
-    cs_diag = [None] * n   # per-index diagonal entry of G
-    G = jnp.zeros(A.shape[:-2] + (n, n), dtype)
-    for (p, q) in pairs:
+    eye_rest, diag_basis, skew_basis, annihilate = _round_constants(
+        n, tuple(pairs), A.dtype.name)
+    G = jnp.broadcast_to(jnp.asarray(eye_rest), A.shape)
+    for (p, q), D, S in zip(pairs, diag_basis, skew_basis):
         app = A[..., p, p]
         aqq = A[..., q, q]
         apq = A[..., p, q]
@@ -62,16 +87,10 @@ def _round_rotation(A, V, pairs):
         t = jnp.where(nonzero, t, 0.0)
         c = 1.0 / jnp.sqrt(1.0 + t * t)
         s = t * c
-        G = G.at[..., p, p].set(c).at[..., q, q].set(c)
-        G = G.at[..., p, q].set(s).at[..., q, p].set(-s)
-        cs_diag[p] = cs_diag[q] = True
-    for i in range(n):
-        if cs_diag[i] is None:
-            G = G.at[..., i, i].set(jnp.ones(A.shape[:-2], dtype))
+        G = G + c[..., None, None] * D + s[..., None, None] * S
     A_new = jnp.swapaxes(G, -1, -2) @ A @ G
     # exact annihilation of the rotated pairs kills fp residue
-    for (p, q) in pairs:
-        A_new = A_new.at[..., p, q].set(0.0).at[..., q, p].set(0.0)
+    A_new = A_new * annihilate
     V_new = V @ G
     return A_new, V_new
 

@@ -185,3 +185,128 @@ def knn(query, target, target_valid=None, k: int = 5, kk: int = 8,
         d_exact = jnp.where(target_valid[idx], d_exact, jnp.inf)
     neg, sel = jax.lax.top_k(-d_exact, k)
     return (-neg).astype(orig_dtype), jnp.take_along_axis(idx, sel, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Two-phase grouped search: group-min prefilter kernel + exact candidate pass
+# ---------------------------------------------------------------------------
+
+def _gmin_kernel(qT_ref, tT_ref, pen_ref, out_ref, *, tt: int):
+    """Phase A: per-query min distance over each 128-target lane group.
+
+    Distances are computed COORDINATE-WISE (subtract before squaring): the
+    |q|^2+|t|^2-2q.t expansion carries ~1e-3 absolute f32 error at LiDAR
+    coordinate scale, and one fuzzy group-min misranks the whole group
+    (observed: 0.2% wrong neighbors).  Three subtract-square-accumulate
+    passes are exact to ~1e-7 relative.  pen is a (1, TT) additive penalty
+    strip: BIG at invalid/padded targets."""
+    q = qT_ref[:]                       # (3, TQ)
+    t = tT_ref[:]                       # (3, TT)
+    d = pen_ref[:] + jnp.zeros((q.shape[1], 1), jnp.float32)  # (TQ, TT)
+    for c in range(3):
+        diff = q[c, :][:, None] - t[c, :][None, :]
+        d = d + diff * diff
+    d = jnp.minimum(d, BIG)
+    tq = d.shape[0]
+    # full-width output block (last-dim tile rules); write this tile's slice
+    j = pl.program_id(1)
+    gpt = tt // 128
+    out_ref[:, pl.ds(j * gpt, gpt)] = jnp.min(
+        d.reshape(tq, gpt, 128), axis=2)
+
+
+def _extract_k_smallest(d, idx, k: int):
+    """k rounds of (min, mask) over a WIDE candidate strip, packed-key style
+    but in plain XLA: column position packed into the low mantissa bits makes
+    every key unique, so no argmin / scatter / tie handling is needed.
+    d: (N, C) >= 0 exact distances (inf allowed); idx: (N, C) int32.
+    Returns (vals (N, k) ascending exact, indices (N, k))."""
+    C = d.shape[-1]
+    cbits = max(1, (C - 1)).bit_length()
+    mask_c = (1 << cbits) - 1
+    col = jnp.arange(C, dtype=jnp.int32)
+    dn = jnp.minimum(d, BIG) + jnp.float32(2.0 ** -30)
+    key = jnp.bitwise_or(
+        jnp.bitwise_and(jax.lax.bitcast_convert_type(dn, jnp.int32),
+                        ~jnp.int32(mask_c)), col)
+    key = jax.lax.bitcast_convert_type(key, jnp.float32)
+    vals, idxs = [], []
+    for _ in range(k):
+        m = jnp.min(key, axis=-1, keepdims=True)
+        c = jnp.bitwise_and(jax.lax.bitcast_convert_type(m, jnp.int32),
+                            mask_c)[..., 0]
+        vals.append(jnp.take_along_axis(d, c[..., None], axis=-1)[..., 0])
+        idxs.append(jnp.take_along_axis(idx, c[..., None], axis=-1)[..., 0])
+        key = jnp.where(key == m, BIG, key)
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "groups", "tq", "tt", "interpret"))
+def knn_grouped(query, target, target_valid=None, k: int = 5,
+                groups: int = 8, tq: int = 256, tt: int = 2048,
+                interpret: bool = False):
+    """Exact k-NN via group-min prefilter (the fast path for M >~ 2k).
+
+    Phase A reduces the N x M distance field to per-128-target-group minima
+    (Pallas, one VPU pass).  Phase B keeps each query's top ``groups`` groups
+    and evaluates only those 128*groups candidates exactly.  Exactness: if a
+    true k-th neighbor's group were dropped, >= ``groups`` other groups would
+    each hold a strictly closer point, contradicting its rank (k <= groups);
+    gmin ties consume margin, hence groups > k by default.
+    """
+    assert groups >= k, "group margin must cover k"
+    n, m = query.shape[0], target.shape[0]
+    orig_dtype = query.dtype
+    query = query.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+
+    npad = _round_up(max(n, 8), tq)
+    mpad = _round_up(max(m, 128), tt)
+    ng = mpad // 128
+    qT = jnp.pad(query, ((0, npad - n), (0, 0))).T
+    tT = jnp.pad(target, ((0, mpad - m), (0, 0))).T
+    ok = jnp.arange(mpad) < m
+    if target_valid is not None:
+        ok = ok & jnp.pad(target_valid, (0, mpad - m))
+    pen = jnp.where(ok[None, :], 0.0, BIG).astype(jnp.float32)
+
+    gmin = pl.pallas_call(
+        functools.partial(_gmin_kernel, tt=tt),
+        grid=(npad // tq, mpad // tt),
+        in_specs=[
+            pl.BlockSpec((3, tq), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tt), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tt), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tq, ng), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, ng), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * npad * mpad * 3 + 2 * npad * mpad,
+            bytes_accessed=(npad // tq) * mpad * 16 + npad * 12 + npad * ng * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(qT, tT, pen)[:n]
+
+    # phase B: top-`groups` groups per query, exact distances to their points
+    _, gidx = jax.lax.top_k(-gmin, groups)                   # (N, G)
+    tgt_blocks = jnp.pad(target, ((0, mpad - m), (0, 0))).reshape(ng, 128, 3)
+    cand_xyz = tgt_blocks[gidx]                              # (N, G, 128, 3)
+    cand_idx = (gidx[..., None] * 128 +
+                jnp.arange(128, dtype=jnp.int32)).reshape(n, groups * 128)
+    diff = cand_xyz - query[:, None, None, :]
+    d = jnp.sum(diff * diff, axis=-1).reshape(n, groups * 128)
+    d = jnp.where(cand_idx < m, d, jnp.inf)
+    if target_valid is not None:
+        d = jnp.where(target_valid[jnp.minimum(cand_idx, m - 1)], d, jnp.inf)
+    # extract with margin: packed-key quantization (2^-13 relative) can tie
+    # near-equal candidates, so pull k+3 and re-rank the strip exactly
+    d_kk, i_kk = _extract_k_smallest(d, cand_idx, k + 3)
+    neg, sel = jax.lax.top_k(-d_kk, k)
+    return (-neg).astype(orig_dtype), jnp.take_along_axis(i_kk, sel, axis=-1)

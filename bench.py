@@ -37,6 +37,7 @@ def main():
     from dcreg_tpu.io.pcd import load_pcd
     from dcreg_tpu.models.icp import ICPParams, icp_point_to_plane_so3
     from dcreg_tpu.ops.degeneracy import DetectionMethod, HandlingMethod
+    from dcreg_tpu.ops.voxel_grid import build_grid_index
     from dcreg_tpu.ops import se3
 
     dtype = jnp.float32
@@ -45,6 +46,9 @@ def main():
     target = source
     T_gt = jnp.eye(4, dtype=dtype)
     params = ICPParams()
+    # spatial index: built ONCE per target, shared across every Monte-Carlo
+    # run and iteration (the reference's KD-tree build, utils.hpp:393-424)
+    grid = build_grid_index(xyz, params.corr.search_radius, dtype=dtype)
 
     # Monte-Carlo initial poses around the configured noise
     # (config/icp.yaml:36-48: rpy (0.1, 0.1, 2.0) deg, t (0.2, 0.8, 0.5))
@@ -60,7 +64,7 @@ def main():
         r = icp_point_to_plane_so3(
             source, target, R0, t0,
             DetectionMethod.SCHUR_CONDITION_NUMBER,
-            HandlingMethod.PRECONDITIONED_CG, params, T_gt=T_gt)
+            HandlingMethod.PRECONDITIONED_CG, params, T_gt=T_gt, grid=grid)
         return r.t, r.R, r.converged, r.iterations, r.log.trans_error, \
             r.log.rot_error_deg
 

@@ -141,19 +141,45 @@ def icp_point_to_plane_so3(source_xyz, target_xyz, R0, t0,
                            handling: HandlingMethod,
                            params: ICPParams = ICPParams(),
                            T_gt=None, target_valid=None, source_valid=None,
-                           num_source: int | None = None) -> ICPResult:
+                           num_source: int | None = None,
+                           grid=None) -> ICPResult:
     """Run the SO(3) point-to-plane ICP to convergence (one jit).
 
     source_xyz (N, 3) body frame, target_xyz (M, 3) map frame, (R0, t0)
-    initial pose.  detection / handling may be enums or traced int codes --
-    they are lowered to traced scalars so ONE compilation serves the whole
-    method matrix (the per-method masks/solves are 6x6-scale and computed
-    branchlessly; the NN/assembly graph dominates and is shared)."""
+    initial pose.
+
+    When detection/handling are STATIC enums the engine specializes: the
+    DCReg pair (SCHUR_CONDITION_NUMBER, PRECONDITIONED_CG) runs the
+    latency-lean in-loop path (closed-form 3x3 Schur spectra + Cholesky/PCG,
+    no 6x6 eigendecomposition inside the while_loop -- the full spectra are
+    reconstructed in the batched telemetry pass).  Traced int codes are also
+    accepted; that keeps ONE compilation across the whole method matrix at
+    the cost of computing every method's branchless mask/solve in-loop.
+
+    ``grid``: optional prebuilt ``voxel_grid.GridIndex`` over target_xyz
+    (see find_correspondences); build once per target, reuse across runs.
+    """
+    if isinstance(detection, DetectionMethod) and \
+            isinstance(handling, HandlingMethod):
+        return _icp_so3_impl_static(
+            source_xyz, target_xyz, R0, t0, detection, handling, params,
+            T_gt, target_valid, source_valid, num_source, grid)
     from ..ops.degeneracy import detection_code, handling_code
     det = jnp.asarray(detection_code(detection), jnp.int32)
     hand = jnp.asarray(handling_code(handling), jnp.int32)
     return _icp_so3_impl(source_xyz, target_xyz, R0, t0, det, hand, params,
-                         T_gt, target_valid, source_valid, num_source)
+                         T_gt, target_valid, source_valid, num_source, grid)
+
+
+@functools.partial(jax.jit, static_argnames=("detection", "handling",
+                                             "params", "num_source"))
+@precise
+def _icp_so3_impl_static(source_xyz, target_xyz, R0, t0, detection, handling,
+                         params, T_gt=None, target_valid=None,
+                         source_valid=None, num_source=None, grid=None):
+    return _icp_so3_body(source_xyz, target_xyz, R0, t0, detection, handling,
+                         params, T_gt, target_valid, source_valid,
+                         num_source, grid)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "num_source"))
@@ -161,23 +187,36 @@ def icp_point_to_plane_so3(source_xyz, target_xyz, R0, t0,
 def _icp_so3_impl(source_xyz, target_xyz, R0, t0, detection, handling,
                   params: ICPParams,
                   T_gt=None, target_valid=None, source_valid=None,
-                  num_source: int | None = None) -> ICPResult:
+                  num_source: int | None = None, grid=None) -> ICPResult:
+    return _icp_so3_body(source_xyz, target_xyz, R0, t0, detection, handling,
+                         params, T_gt, target_valid, source_valid,
+                         num_source, grid)
+
+
+def _icp_so3_body(source_xyz, target_xyz, R0, t0, detection, handling,
+                  params: ICPParams, T_gt, target_valid, source_valid,
+                  num_source, grid) -> ICPResult:
     dtype = source_xyz.dtype
     I = params.max_iterations
     if T_gt is None:
         T_gt = jnp.eye(4, dtype=dtype)
+    # the in-loop fast path: no 6x6 EVD, closed-form Schur spectra (valid
+    # only for the DCReg detection/handling pair, and only when static)
+    fast = (detection is DetectionMethod.SCHUR_CONDITION_NUMBER and
+            handling is HandlingMethod.PRECONDITIONED_CG)
 
     def one_iteration(R, t, telemetry):
         corr = find_correspondences(source_xyz, R, t, target_xyz,
                                     target_valid=target_valid,
                                     source_valid=source_valid,
-                                    params=params.corr, chunk=params.chunk)
+                                    params=params.corr, chunk=params.chunk,
+                                    grid=grid)
         sysm = build_system(source_xyz, R, t, corr, num_source=num_source,
                             use_weight_derivative=params.use_weight_derivative,
                             weight_slope=params.corr.weight_slope)
-        analysis = analyze(sysm.H, detection, params.thresholds)
+        analysis = analyze(sysm.H, detection, params.thresholds, fast=fast)
         dx, sinfo = solve(sysm.H, sysm.g, handling, analysis,
-                          params.thresholds, telemetry=telemetry)
+                          params.thresholds, telemetry=telemetry, fast=fast)
         too_few = sysm.num_valid < params.min_effective_points
         bad_dx = ~jnp.all(jnp.isfinite(dx))
         abort_now = too_few | bad_dx

@@ -105,15 +105,25 @@ class CorrespondenceParams(NamedTuple):
 def find_correspondences(source_xyz, R, t, target_xyz, target_valid=None,
                          source_valid=None,
                          params: CorrespondenceParams = CorrespondenceParams(),
-                         chunk: int = 2048) -> Correspondences:
+                         chunk: int = 2048, grid=None) -> Correspondences:
     """Full correspondence pass for one iteration (fixed shapes).
 
     source_xyz: (N, 3) body-frame points; (R, t): current pose;
     target_xyz: (M, 3) map points.
+
+    ``grid``: optional prebuilt ``voxel_grid.GridIndex`` over target_xyz
+    (voxel_size >= search_radius).  Replaces the O(N*M) brute-force scan
+    with an exact ~30-candidate neighborhood walk -- build it ONCE per
+    target (the reference's KD-tree build, utils.hpp:393-424) and reuse it
+    across every iteration and every Monte-Carlo run.
     """
     p_world = source_xyz @ R.T + t
-    sq_d, idx = knn_mod.knn(p_world, target_xyz, target_valid,
-                            k=params.k, chunk=chunk, refine=2 * params.k)
+    if grid is not None:
+        from .voxel_grid import grid_knn
+        sq_d, idx = grid_knn(grid, p_world, k=params.k)
+    else:
+        sq_d, idx = knn_mod.knn(p_world, target_xyz, target_valid,
+                                k=params.k, chunk=chunk, refine=2 * params.k)
     in_radius = sq_d[:, params.k - 1] < params.search_radius ** 2
 
     neigh = target_xyz[idx]                              # (N, K, 3)

@@ -134,16 +134,28 @@ def handling_code(method):
 
 
 def analyze(H, method: DetectionMethod,
-            thresholds: DegeneracyThresholds = DegeneracyThresholds()
-            ) -> DegeneracyAnalysis:
+            thresholds: DegeneracyThresholds = DegeneracyThresholds(),
+            fast: bool = False) -> DegeneracyAnalysis:
     """Full spectral analysis + detection mask for one 6x6 GN Hessian.
 
     ``method`` may be a static DetectionMethod enum OR a traced int code
     (see detection_code) -- the latter keeps a single compilation across
     the whole method matrix.
+
+    ``fast=True`` (requires a STATIC ``SCHUR_CONDITION_NUMBER`` method) is
+    the latency-lean in-loop variant: 3x3 spectra via the closed-form
+    eigensolver and NO 6x6 eigendecomposition (those fields return NaN).
+    Use it only with ``solvers.solve(..., fast=True)`` / PCG handling, which
+    reads exclusively the Schur fields; telemetry passes recompute the full
+    analysis off the critical path.
     """
     dtype = H.dtype
-    w_full, V_full = linalg.symmetric_eigh(H)
+    fast = fast and method is DetectionMethod.SCHUR_CONDITION_NUMBER
+    if fast:
+        w_full = jnp.full(6, jnp.nan, dtype)
+        V_full = jnp.full((6, 6), jnp.nan, dtype)
+    else:
+        w_full, V_full = linalg.symmetric_eigh(H)
     sv, _ = linalg.psd_svd_from_eigh(w_full, V_full)
     cond_full = jnp.where(sv[5] > _EPS, sv[0] / jnp.maximum(sv[5], _EPS),
                           jnp.asarray(jnp.inf, dtype))
@@ -168,8 +180,11 @@ def analyze(H, method: DetectionMethod,
     S_t = H_tt - H_tR @ inv_rr @ H_Rt
 
     # one batched 3x3 eigensolve covers both diagonal blocks and both Schur
-    # complements -- sequential-stage latency on TPU is batch-independent
-    w3, V3 = linalg.symmetric_eigh(jnp.stack([H_RR, H_tt, S_R, S_t]))
+    # complements -- sequential-stage latency on TPU is batch-independent.
+    # The fast path swaps the Jacobi sweeps for the closed-form solver
+    # (~60 flat ops, no sequential stages).
+    eig3 = linalg.eigh3_closed if fast else linalg.symmetric_eigh
+    w3, V3 = eig3(jnp.stack([H_RR, H_tt, S_R, S_t]))
     w_diag_rot, w_diag_trans = w3[0], w3[1]
     cond_diag_rot = linalg.condition_number(w_diag_rot)
     cond_diag_trans = linalg.condition_number(w_diag_trans)

@@ -199,7 +199,11 @@ def _gmin_kernel(qT_ref, tT_ref, pen_ref, out_ref, *, tt: int):
     coordinate scale, and one fuzzy group-min misranks the whole group
     (observed: 0.2% wrong neighbors).  Three subtract-square-accumulate
     passes are exact to ~1e-7 relative.  pen is a (1, TT) additive penalty
-    strip: BIG at invalid/padded targets."""
+    strip: BIG at invalid/padded targets.
+
+    Output is TRANSPOSED -- (groups, queries) -- so each grid step writes a
+    (TT/128, TQ) block addressed by BlockSpec (Mosaic rejects dynamic minor-
+    dim stores that are not 128-aligned)."""
     q = qT_ref[:]                       # (3, TQ)
     t = tT_ref[:]                       # (3, TT)
     d = pen_ref[:] + jnp.zeros((q.shape[1], 1), jnp.float32)  # (TQ, TT)
@@ -208,11 +212,8 @@ def _gmin_kernel(qT_ref, tT_ref, pen_ref, out_ref, *, tt: int):
         d = d + diff * diff
     d = jnp.minimum(d, BIG)
     tq = d.shape[0]
-    # full-width output block (last-dim tile rules); write this tile's slice
-    j = pl.program_id(1)
     gpt = tt // 128
-    out_ref[:, pl.ds(j * gpt, gpt)] = jnp.min(
-        d.reshape(tq, gpt, 128), axis=2)
+    out_ref[:, :] = jnp.min(d.reshape(tq, gpt, 128), axis=2).T  # (gpt, TQ)
 
 
 def _extract_k_smallest(d, idx, k: int):
@@ -282,9 +283,9 @@ def knn_grouped(query, target, target_valid=None, k: int = 5,
             pl.BlockSpec((1, tt), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tq, ng), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((tt // 128, tq), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad, ng), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ng, npad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
@@ -292,7 +293,7 @@ def knn_grouped(query, target, target_valid=None, k: int = 5,
             bytes_accessed=(npad // tq) * mpad * 16 + npad * 12 + npad * ng * 4,
             transcendentals=0),
         interpret=interpret,
-    )(qT, tT, pen)[:n]
+    )(qT, tT, pen).T[:n]
 
     # phase B: top-`groups` groups per query, exact distances to their points
     _, gidx = jax.lax.top_k(-gmin, groups)                   # (N, G)

@@ -169,9 +169,39 @@ def _schur_sqrt_precond(analysis: DegeneracyAnalysis, kappa_target: float):
                      S, jnp.eye(6, dtype=dtype))
 
 
+def solve_pcg_fast(H, g, analysis: DegeneracyAnalysis,
+                   thresholds: DegeneracyThresholds):
+    """Latency-lean PRECONDITIONED_CG solve for the in-loop fast path.
+
+    Reads ONLY the Schur fields of ``analysis`` (valid under
+    ``analyze(..., fast=True)``): targeted preconditioner from the Schur
+    spectra, unrolled PCG when degenerate, unrolled 6x6 Cholesky otherwise
+    (the reference's plain QR branch, dcreg.hpp:186-193 -- H is SPD and
+    well-conditioned whenever the Schur test passes).  No 6x6
+    eigendecomposition anywhere.  Returns (dx, SolveInfo)."""
+    dtype = H.dtype
+    P = targeted_preconditioner(analysis, thresholds.kappa_target)
+    x_pcg, pcg_iters, pcg_resid = pcg_unrolled(
+        H, g, P, thresholds.pcg_max_iter, thresholds.pcg_tolerance)
+    x_chol, chol_ok = linalg.cholesky_solve_6x6(H, g)
+    use_pcg = analysis.is_degenerate | ~chol_ok
+    x = jnp.where(use_pcg, x_pcg, x_chol)
+    info = SolveInfo(
+        P_preconditioner=P,
+        W_adaptive=jnp.zeros((6, 6), dtype),
+        pcg_iterations=jnp.where(use_pcg, pcg_iters,
+                                 jnp.asarray(-1, jnp.int32)),
+        pcg_residual=jnp.where(use_pcg, pcg_resid,
+                               jnp.asarray(jnp.nan, dtype)),
+        cond_PH=jnp.asarray(jnp.nan, dtype))
+    return x, info
+
+
 def solve(H, g, method: HandlingMethod, analysis: DegeneracyAnalysis,
           thresholds: DegeneracyThresholds = DegeneracyThresholds(),
-          telemetry: bool = True):
+          telemetry: bool = True, fast: bool = False):
+    if fast and method is HandlingMethod.PRECONDITIONED_CG:
+        return solve_pcg_fast(H, g, analysis, thresholds)
     """Unified dispatch.  Returns (dx, SolveInfo).
 
     ``method`` may be a static HandlingMethod enum or a traced int code

@@ -24,11 +24,13 @@ one int32 per map point plus the bucket table.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils import precise_jit
 
@@ -142,3 +144,156 @@ def voxel_knn(grid: VoxelGrid, query, k: int = 5, capacity: int = 32,
     i_all = i_all.reshape(-1, k)[:n].astype(jnp.int32)
     i_all = jnp.where(jnp.isfinite(d_all), i_all, 0)
     return d_all, i_all
+
+
+# ---------------------------------------------------------------------------
+# CSR grid index with STATIC dims / candidate cap -- the hot-loop k-NN path.
+#
+# Unlike ``VoxelGrid`` above (device-built, traced dims, 27 x capacity slots
+# per query), this index is built ONCE on the host per target cloud and
+# carries its grid dimensions and candidate bound as static metadata.  The
+# query then enumerates each point's ACTUAL 27-neighborhood candidates
+# (typically ~10-30 for LiDAR frames) through a CSR cumulative-offset walk --
+# ~30 gathered candidates per query instead of 27*capacity slots or an
+# O(M) brute-force scan.  On the cylinder benchmark this removes ~97% of the
+# correspondence-search work per ICP iteration (the reference's KD-tree,
+# utils.hpp:393-424, is likewise a one-time build amortized over the run).
+#
+# Exactness: with voxel_size >= search_radius the 27-neighborhood covers the
+# full search ball, and ``cap`` is computed as the exact maximum
+# 27-neighborhood occupancy over every possible query cell (dilated grid),
+# so no candidate is ever dropped.  k-NN results therefore match brute force
+# exactly for every query whose neighbors are all within ``voxel_size``; the
+# pipeline's in_radius gate (icp_test_runner.cpp:1726) rejects everything
+# farther, so gated correspondences are bit-identical.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("points", "order", "start", "origin"),
+    meta_fields=("dims", "voxel_size", "cap"))
+@dataclasses.dataclass(frozen=True)
+class GridIndex:
+    points: jax.Array       # (M, 3) indexed points, original order
+    order: jax.Array        # (V,) int32 valid-point indices sorted by cell
+    start: jax.Array        # (ncells + 1,) int32 CSR offsets into order
+    origin: jax.Array       # (3,) grid min corner
+    dims: tuple             # static (nx, ny, nz)
+    voxel_size: float       # static edge length
+    cap: int                # static exact max 27-neighborhood occupancy
+
+
+def build_grid_index(points, voxel_size: float, valid=None,
+                     dtype=jnp.float32) -> GridIndex:
+    """Host-side CSR grid build (numpy; once per target cloud).
+
+    points: (M, 3) array-like; voxel_size: grid edge (>= the search radius
+    for exact gated-k-NN semantics); valid: optional (M,) bool mask --
+    invalid points are excluded from the index entirely.
+    """
+    pts = np.asarray(points, np.float64)
+    M = pts.shape[0]
+    vmask = (np.ones(M, bool) if valid is None
+             else np.asarray(valid, bool))
+    vp = pts[vmask]
+    if vp.shape[0] == 0:
+        raise ValueError("grid index needs at least one valid point")
+    lo = vp.min(axis=0)
+    origin = lo - 0.5 * voxel_size
+    inv = 1.0 / voxel_size
+    coords = np.floor((vp - origin) * inv).astype(np.int64)
+    dims = tuple(int(d) for d in coords.max(axis=0) + 1)
+    ncells = dims[0] * dims[1] * dims[2]
+    if ncells > 200_000_000:
+        raise ValueError(f"grid too large ({ncells} cells); increase "
+                         f"voxel_size or crop the cloud")
+    flat = (coords[:, 0] * dims[1] + coords[:, 1]) * dims[2] + coords[:, 2]
+    orig_idx = np.nonzero(vmask)[0].astype(np.int32)
+    perm = np.argsort(flat, kind="stable")
+    order = orig_idx[perm]
+    flat_sorted = flat[perm]
+    start = np.searchsorted(flat_sorted, np.arange(ncells + 1)).astype(np.int32)
+
+    # exact candidate bound: max 27-neighborhood occupancy over every cell of
+    # the 1-dilated grid (covers any query position, in or out of the box)
+    counts = np.zeros(ncells, np.int32)
+    np.add.at(counts, flat, 1)
+    C3 = counts.reshape(dims)
+    Ppad = np.pad(C3, 2)  # pad 2: centers range over the 1-dilated grid
+    S = np.zeros(tuple(d + 2 for d in dims), np.int64)
+    for dx in (0, 1, 2):
+        for dy in (0, 1, 2):
+            for dz in (0, 1, 2):
+                S += Ppad[dx:dx + dims[0] + 2, dy:dy + dims[1] + 2,
+                          dz:dz + dims[2] + 2]
+    cap = int(S.max())
+    cap = max(8, -(-cap // 8) * 8)  # round up to a multiple of 8, min 8
+
+    return GridIndex(points=jnp.asarray(points, dtype),
+                     order=jnp.asarray(order),
+                     start=jnp.asarray(start),
+                     origin=jnp.asarray(origin, dtype),
+                     dims=dims, voxel_size=float(voxel_size), cap=cap)
+
+
+def _extract_k_smallest_xla(d, idx, k: int):
+    """k rounds of packed-key (min, mask) extraction -- no sort, no argmin.
+    d: (..., C) >= 0 (inf allowed); idx: (..., C) int32."""
+    from .pallas_knn import _extract_k_smallest
+    return _extract_k_smallest(d, idx, k)
+
+
+@precise_jit(static_argnames=("k",))
+def grid_knn(grid: GridIndex, query, k: int = 5):
+    """Exact k-NN of each query among grid points within the 27-neighborhood.
+
+    query: (N, 3).  Returns (sq_dists (N, k) ascending, indices (N, k) into
+    ``grid.points``); a missing j-th neighbor (fewer than j candidates within
+    the neighborhood) carries +inf distance.  Neighbors farther than
+    ``grid.voxel_size`` may be missed -- by construction callers gate at
+    search_radius <= voxel_size, so gated results are exact (validated
+    against brute force in tests/test_voxel_grid.py).
+    """
+    dtype = query.dtype
+    n = query.shape[0]
+    dims = jnp.asarray(grid.dims, jnp.int32)
+    nx, ny, nz = grid.dims
+    M = grid.points.shape[0]
+    cap = grid.cap
+
+    qc = jnp.floor((query - grid.origin) *
+                   jnp.asarray(1.0 / grid.voxel_size, dtype)).astype(jnp.int32)
+    nb = qc[:, None, :] + _NEIGHBORHOOD[None, :, :]          # (N, 27, 3)
+    in_grid = jnp.all((nb >= 0) & (nb < dims[None, None, :]), axis=-1)
+    nbc = jnp.clip(nb, 0, dims[None, None, :] - 1)
+    flat = (nbc[..., 0] * ny + nbc[..., 1]) * nz + nbc[..., 2]  # (N, 27)
+    s = grid.start[flat]
+    cnt = jnp.where(in_grid, grid.start[flat + 1] - s, 0)    # (N, 27)
+    cum = jnp.cumsum(cnt, axis=1)                            # (N, 27)
+    total = cum[:, -1]
+
+    # slot c -> owning neighborhood bucket b(c) = #{j : cum[j] <= c}
+    c = jnp.arange(cap, dtype=jnp.int32)                     # (cap,)
+    b = jnp.sum((cum[:, :, None] <= c[None, None, :]).astype(jnp.int32),
+                axis=1)                                      # (N, cap)
+    bc = jnp.minimum(b, 26)
+    prev = jnp.where(b > 0,
+                     jnp.take_along_axis(cum, jnp.maximum(b - 1, 0), axis=1),
+                     0)
+    pos = jnp.take_along_axis(s, bc, axis=1) + (c[None, :] - prev)
+    valid_slot = c[None, :] < total[:, None]
+    pos = jnp.clip(pos, 0, jnp.maximum(grid.order.shape[0] - 1, 0))
+    cand = grid.order[pos]                                   # (N, cap)
+    cxyz = grid.points[cand]                                 # (N, cap, 3)
+    diff = cxyz - query[:, None, :]
+    d = jnp.sum(diff * diff, axis=-1)
+    d = jnp.where(valid_slot, d, jnp.inf)
+    if dtype == jnp.float64:
+        # exact descending-sort selection (CPU/test path)
+        neg, sel = jax.lax.top_k(-d, k)
+        return -neg, jnp.take_along_axis(cand, sel, axis=-1)
+    # f32 TPU path: packed-key extraction (returned distances are the exact
+    # f32 values; only near-tie ORDERING is quantized at 2^-18 relative)
+    vals, idx = _extract_k_smallest_xla(d, cand, k)
+    return vals, idx

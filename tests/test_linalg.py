@@ -99,3 +99,68 @@ class TestSolvers:
         assert np.isclose(float(linalg.condition_number(w)), 20.0)
         w0 = jnp.asarray([0.0, 2.0, 10.0])
         assert float(linalg.condition_number(w0)) > 1e12
+
+
+class TestEigh3Closed:
+    def _check(self, A, atol=1e-10):
+        w, V = linalg.eigh3_closed(jnp.asarray(A))
+        w, V = np.asarray(w), np.asarray(V)
+        scale = max(1.0, np.abs(A).max())
+        np.testing.assert_allclose(w, np.linalg.eigvalsh(A), atol=atol * scale)
+        np.testing.assert_allclose(A @ V, V * w[None, :], atol=5e-9 * scale)
+        np.testing.assert_allclose(V.T @ V, np.eye(3), atol=1e-10)
+        assert np.all(np.diff(w) >= -1e-12 * scale)
+
+    def test_random(self):
+        for _ in range(50):
+            A = RNG.normal(size=(3, 3)); A = A + A.T
+            self._check(A)
+
+    def test_schur_like_spectrum(self):
+        Q, _ = np.linalg.qr(RNG.normal(size=(3, 3)))
+        A = Q @ np.diag([0.63, 5.60, 16.87]) @ Q.T
+        self._check(A)
+
+    def test_repeated_eigenvalues(self):
+        self._check(np.eye(3) * 4.2)
+        Q, _ = np.linalg.qr(RNG.normal(size=(3, 3)))
+        self._check(Q @ np.diag([2.0, 2.0, 7.0]) @ Q.T)
+        self._check(Q @ np.diag([2.0, 7.0, 7.0]) @ Q.T)
+        self._check(np.zeros((3, 3)))
+
+    def test_near_repeated(self):
+        Q, _ = np.linalg.qr(RNG.normal(size=(3, 3)))
+        self._check(Q @ np.diag([1.0, 1.0 + 1e-9, 5.0]) @ Q.T)
+
+    def test_batched(self):
+        A = RNG.normal(size=(17, 3, 3)); A = A + np.swapaxes(A, -1, -2)
+        w, V = map(np.asarray, linalg.eigh3_closed(jnp.asarray(A)))
+        for i in range(17):
+            np.testing.assert_allclose(w[i], np.linalg.eigvalsh(A[i]), atol=1e-9)
+            np.testing.assert_allclose(A[i] @ V[i], V[i] * w[i][None, :], atol=1e-8)
+
+
+class TestCholeskySolve6x6:
+    def test_spd_solve(self):
+        for _ in range(20):
+            J = RNG.normal(size=(40, 6))
+            H = J.T @ J + 1e-3 * np.eye(6)
+            g = RNG.normal(size=6)
+            x, ok = linalg.cholesky_solve_6x6(jnp.asarray(H), jnp.asarray(g))
+            assert bool(ok)
+            np.testing.assert_allclose(np.asarray(x), np.linalg.solve(H, g),
+                                       rtol=1e-8, atol=1e-10)
+
+    def test_not_pd_flagged(self):
+        H = -np.eye(6)
+        _, ok = linalg.cholesky_solve_6x6(jnp.asarray(H), jnp.ones(6))
+        assert not bool(ok)
+
+    def test_batched(self):
+        J = RNG.normal(size=(8, 40, 6))
+        H = np.einsum('bij,bik->bjk', J, J) + 1e-3 * np.eye(6)
+        g = RNG.normal(size=(8, 6))
+        x, ok = linalg.cholesky_solve_6x6(jnp.asarray(H), jnp.asarray(g))
+        for i in range(8):
+            np.testing.assert_allclose(np.asarray(x[i]),
+                                       np.linalg.solve(H[i], g[i]), rtol=1e-7)

@@ -36,19 +36,23 @@ def main():
     dcreg_tpu.enable_compile_cache(jax.default_backend())
     from dcreg_tpu.io.pcd import load_pcd
     from dcreg_tpu.models.icp import ICPParams, icp_point_to_plane_so3
+    from dcreg_tpu.ops.correspondence import CorrespondenceParams
     from dcreg_tpu.ops.degeneracy import DetectionMethod, HandlingMethod
-    from dcreg_tpu.ops.voxel_grid import build_grid_index
+    from dcreg_tpu.ops.block_sparse import (build_block_index, morton_argsort,
+                                            suggest_num_blocks)
     from dcreg_tpu.ops import se3
 
     dtype = jnp.float32
     xyz = load_pcd(CYL)["xyz"]
+    # spatial index: Morton-sort + block index built ONCE per target, shared
+    # across every Monte-Carlo run and iteration (the reference's KD-tree
+    # build, utils.hpp:393-424)
+    perm = morton_argsort(xyz)
+    xyz = np.asarray(xyz)[perm]
     source = jnp.asarray(xyz, dtype)
     target = source
+    index = build_block_index(xyz, dtype=dtype)
     T_gt = jnp.eye(4, dtype=dtype)
-    params = ICPParams()
-    # spatial index: built ONCE per target, shared across every Monte-Carlo
-    # run and iteration (the reference's KD-tree build, utils.hpp:393-424)
-    grid = build_grid_index(xyz, params.corr.search_radius, dtype=dtype)
 
     # Monte-Carlo initial poses around the configured noise
     # (config/icp.yaml:36-48: rpy (0.1, 0.1, 2.0) deg, t (0.2, 0.8, 0.5))
@@ -58,13 +62,24 @@ def main():
     poses = nominal[None, :] * rng.uniform(0.8, 1.2, (BATCH, 6))
     poses = jnp.asarray(poses, dtype)
 
+    # candidate-block cap: exact max over the initial poses AND the
+    # converged (identity) pose, + margin (block_knn reports overflow = 0)
+    import dcreg_tpu.ops.se3 as se3np
+    samples = [xyz]
+    for p in np.asarray(poses):
+        Rm = np.asarray(se3.euler_zyx_to_rot(*[jnp.asarray(v, dtype)
+                                               for v in p[:3]]), np.float64)
+        samples.append(xyz @ Rm.T + p[3:])
+    G = max(suggest_num_blocks(index, s, 1.0) for s in samples)
+    params = ICPParams(corr=CorrespondenceParams(num_blocks=G))
+
     def one(pose):
         R0 = se3.euler_zyx_to_rot(pose[0], pose[1], pose[2])
         t0 = pose[3:]
         r = icp_point_to_plane_so3(
             source, target, R0, t0,
             DetectionMethod.SCHUR_CONDITION_NUMBER,
-            HandlingMethod.PRECONDITIONED_CG, params, T_gt=T_gt, grid=grid)
+            HandlingMethod.PRECONDITIONED_CG, params, T_gt=T_gt, grid=index)
         return r.t, r.R, r.converged, r.iterations, r.log.trans_error, \
             r.log.rot_error_deg
 

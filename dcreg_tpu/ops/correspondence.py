@@ -81,15 +81,64 @@ def fit_planes(neighbor_xyz):
 
     neighbor_xyz: (N, K, 3).  Returns (normal (N, 3) unit, d (N,),
     ok (N,) bool for |x| >= 1e-6 as in icp_test_runner.cpp:1750-1755).
+
+    Solves the reference's least-squares system A x = -1
+    (icp_test_runner.cpp:1747-1760) in CLOSED FORM via the centered
+    normal equations: with c the neighbor centroid and K = B^T B the
+    centered scatter (B = A - 1 c^T, so B^T 1 = 0),
+
+        (K + k c c^T) x = -k c      [exactly A^T A x = -A^T 1]
+
+    expanded in K's eigenbasis (closed-form 3x3 EVD) with every 1/lambda
+    ratio rescaled by lambda_min so coplanar neighbor sets (K rank-2, the
+    common case on simulated geometry) evaluate stably:
+
+        x = -(sum_i a_i r_i v_i) / (lam0/k + sum_i a_i^2 r_i),
+        a_i = v_i . c,  r_i = lam0 / lam_i  (r_0 = 1).
+
+    Rank deficiency (e.g. exactly-coplanar ground points whose plane passes
+    through the origin, or a zero column after rotation) is handled the way
+    Eigen's colPivHouseholderQr handles it: directions with no data support
+    -- ||A v_i||^2 = lam_i + K a_i^2 below threshold -- are dropped from the
+    solve (their solution component is zero), reproducing the reference's
+    rank-revealing basic solution on the golden fixtures.
+
+    This is algebraically identical to the QR solve (same LS minimizer) but
+    costs ~90 flat ops with no sequential Householder chain -- the QR path
+    (householder_lstsq) serialized ~45 dependent stages of tiny unfusable
+    concats, which dominated the correspondence pass on TPU.  f32 accuracy
+    is governed by the well-scaled centered scatter instead of cond(A)^2.
     """
+    from . import linalg
+    dtype = neighbor_xyz.dtype
     K = neighbor_xyz.shape[-2]
-    b = jnp.full(neighbor_xyz.shape[:-1], -1.0, dtype=neighbor_xyz.dtype)
-    x = householder_lstsq(neighbor_xyz, b)
-    ps = jnp.linalg.norm(x, axis=-1)
-    ok = ps >= 1e-6
-    ps_safe = jnp.where(ok, ps, 1.0)
-    normal = x / ps_safe[..., None]
-    d = 1.0 / ps_safe
+    c = jnp.mean(neighbor_xyz, axis=-2)                       # (N, 3)
+    Bc = neighbor_xyz - c[..., None, :]                       # centered
+    S = jnp.einsum('...ki,...kj->...ij', Bc, Bc)              # (N, 3, 3)
+    lam, V = linalg.eigh3_closed(S)                           # ascending
+    lam = jnp.maximum(lam, 0.0)
+    a = jnp.einsum('...ij,...i->...j', V, c)                  # v_i . c
+    # rank detection on A itself: ||A v_i||^2 = lam_i + K a_i^2
+    s_dir = lam + K * (a * a)
+    eps_rank = 100.0 * jnp.finfo(dtype).eps
+    active = s_dir > eps_rank * jnp.max(s_dir, axis=-1, keepdims=True)
+    # smallest ACTIVE eigenvalue rescales every 1/lambda ratio
+    big = jnp.asarray(jnp.inf, dtype)
+    mu = jnp.min(jnp.where(active, lam, big), axis=-1)
+    mu = jnp.where(jnp.isfinite(mu), mu, 0.0)
+    # r_i = mu / lam_i on active dirs; the 0/0 (coplanar-normal) case -> 1
+    lam_ok = lam > 1e-30
+    r = jnp.where(lam_ok, mu[..., None] / jnp.where(lam_ok, lam, 1.0), 1.0)
+    r = jnp.where(active, r, 0.0)
+    num = -jnp.einsum('...j,...ij->...i', a * r, V)           # (N, 3)
+    den = mu / K + jnp.sum(a * a * r, axis=-1)
+    ok_den = jnp.abs(den) > 1e-30
+    x = num / jnp.where(ok_den, den, 1.0)[..., None]
+    ps_sq = jnp.sum(x * x, axis=-1)
+    ok = ok_den & (ps_sq >= 1e-12)
+    ps = jnp.sqrt(jnp.where(ok, ps_sq, 1.0))
+    normal = x / ps[..., None]
+    d = 1.0 / ps
     return normal, d, ok
 
 
@@ -99,6 +148,7 @@ class CorrespondenceParams(NamedTuple):
     weight_slope: float = 0.9            # s = max(0, 1 - 0.9 |r|) (:1776)
     min_weight: float = 0.1              # keep if s > 0.1 (:1785)
     k: int = 5
+    num_blocks: int = 16                 # candidate-block cap (block_sparse)
 
 
 @precise_jit(static_argnames=("params", "chunk"))
@@ -119,8 +169,16 @@ def find_correspondences(source_xyz, R, t, target_xyz, target_valid=None,
     """
     p_world = source_xyz @ R.T + t
     if grid is not None:
-        from .voxel_grid import grid_knn
-        sq_d, idx = grid_knn(grid, p_world, k=params.k)
+        from .block_sparse import BlockIndex, block_knn
+        if isinstance(grid, BlockIndex):
+            # block-culled search: source_xyz MUST be Morton-sorted and the
+            # grid built over the matching sorted target (block_sparse.py)
+            sq_d, idx, _ = block_knn(grid, p_world, params.search_radius,
+                                     k=params.k,
+                                     num_blocks=params.num_blocks)
+        else:
+            from .voxel_grid import grid_knn
+            sq_d, idx = grid_knn(grid, p_world, k=params.k)
     else:
         sq_d, idx = knn_mod.knn(p_world, target_xyz, target_valid,
                                 k=params.k, chunk=chunk, refine=2 * params.k)

@@ -136,6 +136,101 @@ def _empty_log(I, dtype):
     )
 
 
+class Hist(NamedTuple):
+    """Per-iteration minimal state recorded by pass 1 (the loop): the
+    6x6 system + scalar stats (47 floats/iter) so the telemetry pass never
+    touches the N-point pipeline again.  Leading axis = iteration (a batch
+    axis may precede it in the batched engine)."""
+    R: jax.Array         # (I, 3, 3) pose BEFORE iteration k
+    t: jax.Array         # (I, 3)
+    H: jax.Array         # (I, 6, 6)
+    g: jax.Array         # (I, 6)
+    num_valid: jax.Array  # (I,) int32
+    rmse: jax.Array      # (I,)
+    fitness: jax.Array   # (I,)
+    objective: jax.Array  # (I,)
+
+
+def empty_hist(I, dtype, lead=()) -> Hist:
+    return Hist(R=jnp.zeros(lead + (I, 3, 3), dtype),
+                t=jnp.zeros(lead + (I, 3), dtype),
+                H=jnp.zeros(lead + (I, 6, 6), dtype),
+                g=jnp.zeros(lead + (I, 6), dtype),
+                num_valid=jnp.zeros(lead + (I,), jnp.int32),
+                rmse=jnp.full(lead + (I,), jnp.nan, dtype),
+                fitness=jnp.full(lead + (I,), jnp.nan, dtype),
+                objective=jnp.full(lead + (I,), jnp.nan, dtype))
+
+
+def telemetry_row(h: Hist, executed_k, detection, handling,
+                  thresholds, min_effective_points, T_gt) -> IterationLog:
+    """Reconstruct one iteration's full IterationLogData equivalent
+    (utils.hpp:174-249) from the recorded minimal state -- pure 6x6 work,
+    batched over iterations (and lanes) by the callers."""
+    analysis = analyze(h.H, detection, thresholds)
+    dx, sinfo = solve(h.H, h.g, handling, analysis, thresholds,
+                      telemetry=True)
+    too_few = h.num_valid < min_effective_points
+    abort_now = too_few | ~jnp.all(jnp.isfinite(dx))
+    dx = jnp.where(abort_now, jnp.zeros_like(dx), dx)
+    ana = analysis
+    R_new, t_new = se3.boxplus(h.R, h.t, dx)
+    R_new = jnp.where(abort_now, h.R, R_new)
+    t_new = jnp.where(abort_now, h.t, t_new)
+    T_new = se3.se3_matrix(R_new, t_new)
+    te, re = se3.pose_error(T_gt, T_new)
+    nanify = lambda x: jnp.where(executed_k, x, jnp.full_like(x, jnp.nan))
+    return IterationLog(
+        executed=executed_k & ~too_few,
+        effective_points=jnp.where(executed_k, h.num_valid, 0
+                                   ).astype(jnp.int32),
+        rmse=nanify(h.rmse), fitness=nanify(h.fitness),
+        objective=nanify(h.objective),
+        gradient=nanify(-h.g), dx=nanify(dx),
+        transform=nanify(T_new),
+        trans_error=nanify(te), rot_error_deg=nanify(re),
+        eigenvalues_full=nanify(ana.eigenvalues_full),
+        singular_values=nanify(ana.singular_values),
+        lambda_schur_rot=nanify(ana.lambda_schur_rot),
+        lambda_schur_trans=nanify(ana.lambda_schur_trans),
+        V_schur_rot=nanify(ana.V_schur_rot),
+        V_schur_trans=nanify(ana.V_schur_trans),
+        lambda_diag_rot=nanify(ana.lambda_diag_rot),
+        lambda_diag_trans=nanify(ana.lambda_diag_trans),
+        cond_full=nanify(ana.cond_full),
+        cond_schur_rot=nanify(ana.cond_schur_rot),
+        cond_schur_trans=nanify(ana.cond_schur_trans),
+        cond_diag_rot=nanify(ana.cond_diag_rot),
+        cond_diag_trans=nanify(ana.cond_diag_trans),
+        cond_full_sub_rot=nanify(ana.cond_full_sub_rot),
+        cond_full_sub_trans=nanify(ana.cond_full_sub_trans),
+        is_degenerate=ana.is_degenerate & executed_k,
+        degenerate_mask=ana.degenerate_mask & executed_k,
+        pcg_iterations=jnp.where(executed_k, sinfo.pcg_iterations,
+                                 -1).astype(jnp.int32),
+        pcg_residual=nanify(sinfo.pcg_residual),
+        cond_PH=nanify(sinfo.cond_PH),
+        P_preconditioner=nanify(sinfo.P_preconditioner),
+        W_adaptive=nanify(sinfo.W_adaptive),
+    )
+
+
+def covariance_from_H(H_last, converged, dtype):
+    """Repaired H^-1 covariance when converged, 1e6 I otherwise
+    (icp_test_runner.cpp:2014-2037)."""
+    w_h, V_h = linalg.symmetric_eigh(H_last)
+    invertible = jnp.abs(w_h).min() > 1e-12
+    w_inv = 1.0 / jnp.where(jnp.abs(w_h) > 1e-12, w_h, 1.0)
+    cov_inv = (V_h * w_inv[None, :]) @ V_h.T
+    w_c, V_c = linalg.symmetric_eigh(cov_inv)
+    needs_repair = w_c.min() <= 1e-12
+    w_rep = jnp.maximum(w_c, 1e-9)
+    cov_rep = (V_c * w_rep[None, :]) @ V_c.T
+    cov = jnp.where(needs_repair, cov_rep, cov_inv)
+    return jnp.where(converged & invertible, cov,
+                     1e6 * jnp.eye(6, dtype=dtype))
+
+
 def icp_point_to_plane_so3(source_xyz, target_xyz, R0, t0,
                            detection: DetectionMethod,
                            handling: HandlingMethod,
@@ -228,16 +323,6 @@ def _icp_so3_body(source_xyz, target_xyz, R0, t0, detection, handling,
     # system + scalar stats (47 floats/iter) so pass 2 never has to touch
     # the N-point correspondence pipeline again: the telemetry
     # reconstruction is pure batched 6x6 work.
-    class Hist(NamedTuple):
-        R: jax.Array         # (I, 3, 3) pose BEFORE iteration k
-        t: jax.Array         # (I, 3)
-        H: jax.Array         # (I, 6, 6)
-        g: jax.Array         # (I, 6)
-        num_valid: jax.Array  # (I,) int32
-        rmse: jax.Array      # (I,)
-        fitness: jax.Array   # (I,)
-        objective: jax.Array  # (I,)
-
     def body(state):
         k, R, t, converged, aborted, hist = state
         _, sysm, _, dx, _, too_few, abort_now = one_iteration(R, t, False)
@@ -261,12 +346,7 @@ def _icp_so3_body(source_xyz, target_xyz, R0, t0, detection, handling,
         k, R, t, converged, aborted = state[:5]
         return (k < I) & ~converged & ~aborted
 
-    hist0 = Hist(R=jnp.zeros((I, 3, 3), dtype), t=jnp.zeros((I, 3), dtype),
-                 H=jnp.zeros((I, 6, 6), dtype), g=jnp.zeros((I, 6), dtype),
-                 num_valid=jnp.zeros(I, jnp.int32),
-                 rmse=jnp.full(I, jnp.nan, dtype),
-                 fitness=jnp.full(I, jnp.nan, dtype),
-                 objective=jnp.full(I, jnp.nan, dtype))
+    hist0 = empty_hist(I, dtype)
     init = (jnp.asarray(0, jnp.int32), R0.astype(dtype), t0.astype(dtype),
             jnp.asarray(False), jnp.asarray(False), hist0)
     k, R, t, converged, aborted, hist = \
@@ -275,74 +355,13 @@ def _icp_so3_body(source_xyz, target_xyz, R0, t0, detection, handling,
 
     # ---------------- pass 2: batched telemetry reconstruction -----------
     if params.full_telemetry:
-        def telemetry_row(args):
-            h, executed_k = args
-            analysis = analyze(h.H, detection, params.thresholds)
-            dx, sinfo = solve(h.H, h.g, handling, analysis,
-                              params.thresholds, telemetry=True)
-            too_few = h.num_valid < params.min_effective_points
-            abort_now = too_few | ~jnp.all(jnp.isfinite(dx))
-            dx = jnp.where(abort_now, jnp.zeros_like(dx), dx)
-            ana = analysis
-            R_new, t_new = se3.boxplus(h.R, h.t, dx)
-            R_new = jnp.where(abort_now, h.R, R_new)
-            t_new = jnp.where(abort_now, h.t, t_new)
-            T_new = se3.se3_matrix(R_new, t_new)
-            te, re = se3.pose_error(T_gt, T_new)
-            nanify = lambda x: jnp.where(
-                executed_k, x, jnp.full_like(x, jnp.nan))
-            return IterationLog(
-                executed=executed_k & ~too_few,
-                effective_points=jnp.where(executed_k, h.num_valid, 0
-                                           ).astype(jnp.int32),
-                rmse=nanify(h.rmse), fitness=nanify(h.fitness),
-                objective=nanify(h.objective),
-                gradient=nanify(-h.g), dx=nanify(dx),
-                transform=nanify(T_new),
-                trans_error=nanify(te), rot_error_deg=nanify(re),
-                eigenvalues_full=nanify(ana.eigenvalues_full),
-                singular_values=nanify(ana.singular_values),
-                lambda_schur_rot=nanify(ana.lambda_schur_rot),
-                lambda_schur_trans=nanify(ana.lambda_schur_trans),
-                V_schur_rot=nanify(ana.V_schur_rot),
-                V_schur_trans=nanify(ana.V_schur_trans),
-                lambda_diag_rot=nanify(ana.lambda_diag_rot),
-                lambda_diag_trans=nanify(ana.lambda_diag_trans),
-                cond_full=nanify(ana.cond_full),
-                cond_schur_rot=nanify(ana.cond_schur_rot),
-                cond_schur_trans=nanify(ana.cond_schur_trans),
-                cond_diag_rot=nanify(ana.cond_diag_rot),
-                cond_diag_trans=nanify(ana.cond_diag_trans),
-                cond_full_sub_rot=nanify(ana.cond_full_sub_rot),
-                cond_full_sub_trans=nanify(ana.cond_full_sub_trans),
-                is_degenerate=ana.is_degenerate & executed_k,
-                degenerate_mask=ana.degenerate_mask & executed_k,
-                pcg_iterations=jnp.where(executed_k, sinfo.pcg_iterations,
-                                         -1).astype(jnp.int32),
-                pcg_residual=nanify(sinfo.pcg_residual),
-                cond_PH=nanify(sinfo.cond_PH),
-                P_preconditioner=nanify(sinfo.P_preconditioner),
-                W_adaptive=nanify(sinfo.W_adaptive),
-            )
-
         executed = jnp.arange(I) < k
-        log = jax.vmap(telemetry_row)((hist, executed))
+        log = jax.vmap(lambda h, e: telemetry_row(
+            h, e, detection, handling, params.thresholds,
+            params.min_effective_points, T_gt))(hist, executed)
     else:
         log = _empty_log(I, dtype)
 
-    # covariance: repaired H^-1 when converged, 1e6 I otherwise (:2014-2037)
-    w_h, V_h = linalg.symmetric_eigh(H_last)
-    invertible = jnp.abs(w_h).min() > 1e-12
-    w_inv = 1.0 / jnp.where(jnp.abs(w_h) > 1e-12, w_h, 1.0)
-    cov_inv = (V_h * w_inv[None, :]) @ V_h.T
-    # PD repair: floor eigenvalues of the covariance at 1e-9
-    w_c, V_c = linalg.symmetric_eigh(cov_inv)
-    needs_repair = w_c.min() <= 1e-12
-    w_rep = jnp.maximum(w_c, 1e-9)
-    cov_rep = (V_c * w_rep[None, :]) @ V_c.T
-    cov = jnp.where(needs_repair, cov_rep, cov_inv)
-    cov = jnp.where(converged & invertible, cov,
-                    1e6 * jnp.eye(6, dtype=dtype))
-
+    cov = covariance_from_H(H_last, converged, dtype)
     return ICPResult(R=R, t=t, converged=converged, aborted=aborted,
                      iterations=k, covariance=cov, log=log)

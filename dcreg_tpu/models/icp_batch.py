@@ -1,0 +1,204 @@
+"""Batched Monte-Carlo ICP engine: all pose lanes advance in ONE program.
+
+The reference's statistics mode reruns the engine ``num_runs`` times
+sequentially (icp_test_runner.cpp:331-466).  ``vmap`` over the single-lane
+engine already parallelizes that, but it leaves the correspondence search
+as B independent scans.  This engine instead drives the batched ragged
+block-sparse kernel (ops/pallas_block_knn.py): per iteration ONE pair list
+is built from the union of every lane's relevant (query block, target
+block) interactions and ONE kernel call answers all lanes' 5-NN queries --
+the dominant cost becomes proportional to the mean spatial neighborhood
+occupancy instead of B x O(N*M).
+
+Everything downstream of the search (plane fits, GN assembly, Schur
+analysis, PCG solve, boxplus, convergence) is the single-lane math vmapped
+over lanes; per-lane early exit matches ``vmap(while_loop)`` semantics
+exactly (lanes freeze once converged/aborted, the loop runs until all are
+done).  Telemetry reconstruction reuses models/icp.telemetry_row.
+
+Requirements: source/target MUST be Morton-sorted (ops/block_sparse.
+morton_argsort) and the BlockIndex built with tb=128 over the sorted
+target.  f32 only (the kernel path); use the single-lane engine for f64.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import se3
+from ..ops.block_sparse import BlockIndex
+from ..ops.correspondence import correspondence_tail
+from ..ops.degeneracy import DetectionMethod, HandlingMethod, analyze
+from ..ops.gauss_newton import build_system
+from ..ops.pallas_block_knn import (QB, batched_block_knn, lane_relevance,
+                                    make_pair_list)
+from ..ops.solvers import solve
+from ..utils import precise
+from .icp import (ICPParams, ICPResult, Hist, empty_hist, _empty_log,
+                  covariance_from_H, telemetry_row)
+
+
+class BatchICPResult(NamedTuple):
+    R: jax.Array            # (B, 3, 3)
+    t: jax.Array            # (B, 3)
+    converged: jax.Array    # (B,)
+    aborted: jax.Array      # (B,)
+    iterations: jax.Array   # (B,) int32
+    covariance: jax.Array   # (B, 6, 6)
+    log: object             # IterationLog with (B, I, ...) leaves
+    pair_overflow: jax.Array  # () int32: max dropped pairs over iterations
+
+
+@functools.partial(jax.jit, static_argnames=("detection", "handling",
+                                             "params", "num_pairs"))
+@precise
+def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
+                  detection: DetectionMethod, handling: HandlingMethod,
+                  params: ICPParams, index: BlockIndex,
+                  num_pairs: int, T_gt=None) -> BatchICPResult:
+    """Run B registrations of one (source, target) pair to convergence.
+
+    source_xyz (N, 3) Morton-sorted body-frame points; target_xyz (M, 3)
+    the SAME Morton-sorted cloud the index was built over; R0s (B, 3, 3),
+    t0s (B, 3) initial poses; num_pairs: static pair-list capacity (see
+    block_sparse.suggest_num_blocks-style host estimation; overflow is
+    reported, not silently truncated).
+    """
+    dtype = source_xyz.dtype
+    B = R0s.shape[0]
+    N = source_xyz.shape[0]
+    I = params.max_iterations
+    k = params.corr.k
+    radius = params.corr.search_radius
+    if T_gt is None:
+        T_gt = jnp.eye(4, dtype=dtype)
+    fast = (detection is DetectionMethod.SCHUR_CONDITION_NUMBER and
+            handling is HandlingMethod.PRECONDITIONED_CG)
+
+    # ---- static query-block prep (body frame) ----------------------------
+    nq = -(-N // QB)
+    src_pad = jnp.concatenate(
+        [source_xyz, jnp.broadcast_to(source_xyz[-1:], (nq * QB - N, 3))])
+    src_q = src_pad.reshape(nq, QB, 3)
+    src_blocks = src_q.transpose(0, 2, 1)                    # (nq, 3, QB)
+    slo = jnp.min(src_q, axis=1)
+    shi = jnp.max(src_q, axis=1)
+
+    def one_iteration(Rs, ts):
+        rel = lane_relevance(slo, shi, Rs, ts, index.lo, index.hi, radius)
+        qid, tid, overflow = make_pair_list(rel, num_pairs)
+        poses12 = jnp.concatenate([Rs.reshape(B, 9), ts], axis=1)
+        vals, idx = batched_block_knn(index, src_blocks,
+                                      poses12.astype(jnp.float32),
+                                      qid, tid, num_pairs)
+        sq_d = vals[:, :N, :k].astype(dtype)                 # (B, N, k)
+        nn_idx = jnp.maximum(idx[:, :N, :k], 0)
+        neigh = target_xyz[nn_idx]                           # (B, N, k, 3)
+        p_w = jnp.einsum('nj,bij->bni', source_xyz, Rs) + ts[:, None, :]
+
+        def lane(p_w_l, sq_d_l, idx_l, neigh_l, R, t):
+            corr = correspondence_tail(p_w_l, sq_d_l, idx_l, neigh_l,
+                                       params.corr)
+            sysm = build_system(
+                source_xyz, R, t, corr,
+                use_weight_derivative=params.use_weight_derivative,
+                weight_slope=params.corr.weight_slope)
+            analysis = analyze(sysm.H, detection, params.thresholds,
+                               fast=fast)
+            dx, _ = solve(sysm.H, sysm.g, handling, analysis,
+                          params.thresholds, telemetry=False, fast=fast)
+            too_few = sysm.num_valid < params.min_effective_points
+            bad_dx = ~jnp.all(jnp.isfinite(dx))
+            abort_now = too_few | bad_dx
+            dx = jnp.where(abort_now, jnp.zeros_like(dx), dx)
+            return sysm, dx, abort_now
+
+        sysm, dx, abort_now = jax.vmap(lane)(p_w, sq_d, nn_idx, neigh,
+                                             Rs, ts)
+        return sysm, dx, abort_now, overflow
+
+    # ---- pass 1: the joint optimization loop -----------------------------
+    def body(state):
+        it, Rs, ts, conv, abt, iters, hist, ovf = state
+        active = ~(conv | abt)
+        sysm, dx, abort_now, overflow = one_iteration(Rs, ts)
+        abort_now = abort_now & active
+        # record pre-update state for active lanes
+        put = lambda dst, val: dst.at[:, it].set(
+            jnp.where(jnp.reshape(active, (B,) + (1,) * (val.ndim - 1)),
+                      val, dst[:, it]))
+        hist = Hist(R=put(hist.R, Rs), t=put(hist.t, ts),
+                    H=put(hist.H, sysm.H), g=put(hist.g, sysm.g),
+                    num_valid=put(hist.num_valid,
+                                  sysm.num_valid.astype(jnp.int32)),
+                    rmse=put(hist.rmse, sysm.rmse),
+                    fitness=put(hist.fitness, sysm.fitness),
+                    objective=put(hist.objective, sysm.objective))
+        Rn, tn = jax.vmap(se3.boxplus)(Rs, ts, dx)
+        upd = active & ~abort_now
+        Rs = jnp.where(upd[:, None, None], Rn, Rs)
+        ts = jnp.where(upd[:, None], tn, ts)
+        step_conv = (jnp.linalg.norm(dx[:, :3], axis=1)
+                     < params.convergence_thresh_rot) & \
+                    (jnp.linalg.norm(dx[:, 3:], axis=1)
+                     < params.convergence_thresh_trans) & ~abort_now
+        conv = conv | (active & step_conv)
+        abt = abt | abort_now
+        iters = jnp.where(active, it + 1, iters)
+        return (it + 1, Rs, ts, conv, abt, iters, hist,
+                jnp.maximum(ovf, overflow.astype(jnp.int32)))
+
+    def cond(state):
+        it, Rs, ts, conv, abt = state[:5]
+        return (it < I) & ~jnp.all(conv | abt)
+
+    state0 = (jnp.asarray(0, jnp.int32), R0s.astype(dtype),
+              t0s.astype(dtype), jnp.zeros(B, bool), jnp.zeros(B, bool),
+              jnp.zeros(B, jnp.int32), empty_hist(I, dtype, lead=(B,)),
+              jnp.asarray(0, jnp.int32))
+    it, Rs, ts, conv, abt, iters, hist, ovf = \
+        jax.lax.while_loop(cond, body, state0)
+
+    last = jnp.maximum(iters - 1, 0)
+    H_last = hist.H[jnp.arange(B), last]
+
+    # ---- pass 2: telemetry reconstruction (B x I batched) ----------------
+    if params.full_telemetry:
+        executed = jnp.arange(I)[None, :] < iters[:, None]   # (B, I)
+        log = jax.vmap(jax.vmap(lambda h, e: telemetry_row(
+            h, e, detection, handling, params.thresholds,
+            params.min_effective_points, T_gt)))(hist, executed)
+    else:
+        log = jax.vmap(lambda _: _empty_log(I, dtype))(jnp.arange(B))
+
+    cov = jax.vmap(lambda H, c: covariance_from_H(H, c, dtype))(H_last, conv)
+    return BatchICPResult(R=Rs, t=ts, converged=conv, aborted=abt,
+                          iterations=iters, covariance=cov, log=log,
+                          pair_overflow=ovf)
+
+
+def estimate_num_pairs(index: BlockIndex, source_xyz, poses_Rt,
+                       radius: float, margin: float = 1.3) -> int:
+    """Host-side pair-list capacity estimate: union relevance over the given
+    (R, t) pose samples plus identity, x margin (rounded up to 64)."""
+    import numpy as np
+    src = np.asarray(source_xyz, np.float64)
+    N = src.shape[0]
+    nq = -(-N // QB)
+    pad = np.concatenate([src, np.repeat(src[-1:], nq * QB - N, axis=0)])
+    qb = pad.reshape(nq, QB, 3)
+    tlo, thi = np.asarray(index.lo, np.float64), np.asarray(index.hi,
+                                                            np.float64)
+    rel = np.zeros((nq, tlo.shape[0]), bool)
+    samples = [(np.eye(3), np.zeros(3))] + list(poses_Rt)
+    for R, t in samples:
+        qw = qb @ np.asarray(R).T + np.asarray(t)
+        qlo, qhi = qw.min(axis=1), qw.max(axis=1)
+        gap = np.maximum(0.0, np.maximum(qlo[:, None] - thi[None],
+                                         tlo[None] - qhi[:, None]))
+        rel |= (gap * gap).sum(-1) <= radius * radius
+    total = int(rel.sum())
+    return max(64, int(-(-total * margin // 64) * 64))

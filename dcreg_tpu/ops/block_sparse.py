@@ -74,7 +74,7 @@ def morton_argsort(points) -> np.ndarray:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("blocks", "valid", "lo", "hi"),
-    meta_fields=("num_blocks", "num_points"))
+    meta_fields=("num_blocks", "num_points", "tb"))
 @dataclasses.dataclass(frozen=True)
 class BlockIndex:
     """Blocked, Morton-sorted target cloud + per-block bounding boxes.
@@ -88,24 +88,26 @@ class BlockIndex:
     hi: jax.Array         # (nbt, 3)
     num_blocks: int
     num_points: int       # real (unpadded) point count
+    tb: int = TB          # block size (points per block)
 
 
-def build_block_index(sorted_points, dtype=jnp.float32) -> BlockIndex:
-    """Build the block index from an ALREADY Morton-sorted (M, 3) cloud."""
+def build_block_index(sorted_points, dtype=jnp.float32,
+                      tb: int = TB) -> BlockIndex:
+    """Build the block index from an ALREADY spatially-sorted (M, 3) cloud."""
     pts = np.asarray(sorted_points, np.float64)
     M = pts.shape[0]
-    nbt = -(-M // TB)
-    pad = nbt * TB - M
+    nbt = -(-M // tb)
+    pad = nbt * tb - M
     # pad with the last point (keeps bboxes honest; padding is masked out)
     padded = np.concatenate([pts, np.repeat(pts[-1:], pad, axis=0)])
-    blocks = padded.reshape(nbt, TB, 3)
-    valid = np.arange(nbt * TB).reshape(nbt, TB) < M
+    blocks = padded.reshape(nbt, tb, 3)
+    valid = np.arange(nbt * tb).reshape(nbt, tb) < M
     lo = np.where(valid[..., None], blocks, np.inf).min(axis=1)
     hi = np.where(valid[..., None], blocks, -np.inf).max(axis=1)
     return BlockIndex(blocks=jnp.asarray(blocks, dtype),
                       valid=jnp.asarray(valid),
                       lo=jnp.asarray(lo, dtype), hi=jnp.asarray(hi, dtype),
-                      num_blocks=int(nbt), num_points=int(M))
+                      num_blocks=int(nbt), num_points=int(M), tb=int(tb))
 
 
 def suggest_num_blocks(index: BlockIndex, sample_queries, radius: float,
@@ -161,11 +163,12 @@ def block_knn(index: BlockIndex, query, radius: float, k: int = 5,
     bsel = jnp.where(slot_ok, bsel, 0)
 
     # ONE coarse gather of contiguous blocks
-    cand = index.blocks[bsel]                                # (nq, G, TB, 3)
-    cok = index.valid[bsel] & slot_ok[..., None]             # (nq, G, TB)
-    cidx = bsel[..., None] * TB + jnp.arange(TB, dtype=jnp.int32)
+    tb = index.tb
+    cand = index.blocks[bsel]                                # (nq, G, tb, 3)
+    cok = index.valid[bsel] & slot_ok[..., None]             # (nq, G, tb)
+    cidx = bsel[..., None] * tb + jnp.arange(tb, dtype=jnp.int32)
 
-    C = G * TB
+    C = G * tb
     cand = cand.reshape(nq, C, 3)
     cok = cok.reshape(nq, C)
     cidx = cidx.reshape(nq, C).astype(jnp.int32)

@@ -182,9 +182,19 @@ def find_correspondences(source_xyz, R, t, target_xyz, target_valid=None,
     else:
         sq_d, idx = knn_mod.knn(p_world, target_xyz, target_valid,
                                 k=params.k, chunk=chunk, refine=2 * params.k)
+    neigh = target_xyz[idx]                              # (N, K, 3)
+    return correspondence_tail(p_world, sq_d, idx, neigh, params,
+                               source_valid)
+
+
+def correspondence_tail(p_world, sq_d, idx, neigh,
+                        params: CorrespondenceParams,
+                        source_valid=None) -> Correspondences:
+    """Post-search half of the correspondence pass: plane fit, thickness
+    gate, robust weight (icp_test_runner.cpp:1747-1790).  Shared by every
+    search backend (brute force, grid, block-sparse, batched kernel)."""
     in_radius = sq_d[:, params.k - 1] < params.search_radius ** 2
 
-    neigh = target_xyz[idx]                              # (N, K, 3)
     normal, d_off, fit_ok = fit_planes(neigh)
 
     # plane-quality gate: every neighbor within max_plane_thickness of plane

@@ -77,8 +77,9 @@ def _kernel(qid_ref, tid_ref, src_ref, tgt_ref, pose_ref,
 
     src = src_ref[0]                       # (3, QB)
     tgt = tgt_ref[0]                       # (TB, 3)
-    gidx = (tid_ref[p] * TB).astype(jnp.float32) + \
-        jax.lax.broadcasted_iota(jnp.float32, (TB, QB), 0)
+    # Mosaic's tpu.iota is integer-only: build int32 and convert.
+    gidx = (jax.lax.broadcasted_iota(jnp.int32, (TB, QB), 0)
+            + tid_ref[p] * TB).astype(jnp.float32)
     cand_rows = jax.lax.broadcasted_iota(jnp.int32, (TB, QB), 0) + KP
     run_rows = jax.lax.broadcasted_iota(jnp.int32, (KP, QB), 0)
 
@@ -122,14 +123,18 @@ def _kernel(qid_ref, tid_ref, src_ref, tgt_ref, pose_ref,
 
 @functools.partial(jax.jit, static_argnames=("num_pairs", "interpret"))
 def batched_block_knn(index: BlockIndex, src_blocks, poses, qid, tid,
-                      num_pairs: int, interpret: bool = False):
+                      num_pairs: int, covered=None, interpret: bool = False):
     """All-lane 5-NN for one ICP iteration.
 
     index: BlockIndex with TB=128 blocks (build_block_index_128);
     src_blocks: (nq, 3, QB) Morton-sorted source, blocked and transposed;
     poses: (B, 12) rows [R row-major (9), t (3)];
     qid/tid: (P,) int32 pair list sorted by qid -- padding pairs carry
-    qid = nq (trash output row) and tid = nbt (sentinel BIG block).
+    qid = nq (trash output row) and tid = nbt (sentinel BIG block);
+    covered: optional (nq,) bool, True where the query block appears in at
+    least one pair.  The kernel only writes pair-listed output rows, so rows
+    of uncovered blocks hold uninitialized device memory -- when ``covered``
+    is given those rows are post-masked to (BIG, -1).
 
     Returns (sq_dists (B, nq*QB, KP) quantized-key values ascending,
     idx (B, nq*QB, KP) int32 into the sorted target, -1 where missing).
@@ -186,9 +191,14 @@ def batched_block_knn(index: BlockIndex, src_blocks, poses, qid, tid,
         interpret=interpret,
     )(qid, tid, src_blocks, tgt, poses)
 
-    # (nq+1, B, KP, QB) -> (B, nq, QB, KP) -> (B, N, KP)
-    val = out_val[:nq].reshape(nq, B, KP, QB).transpose(1, 0, 3, 2)
-    idx = out_idx[:nq].reshape(nq, B, KP, QB).transpose(1, 0, 3, 2)
+    out_val, out_idx = out_val[:nq], out_idx[:nq]
+    if covered is not None:
+        cov = covered.reshape(nq, 1, 1)
+        out_val = jnp.where(cov, out_val, BIG)
+        out_idx = jnp.where(cov, out_idx, -1.0)
+    # (nq, B, KP, QB) -> (B, nq, QB, KP) -> (B, N, KP)
+    val = out_val.reshape(nq, B, KP, QB).transpose(1, 0, 3, 2)
+    idx = out_idx.reshape(nq, B, KP, QB).transpose(1, 0, 3, 2)
     val = val.reshape(B, nq * QB, KP)
     idx = idx.reshape(B, nq * QB, KP).astype(jnp.int32)
     return val, idx

@@ -56,6 +56,9 @@ class IterationLog(NamedTuple):
     """Stacked per-iteration telemetry; row k valid iff executed[k]."""
     executed: jax.Array            # (I,) bool
     effective_points: jax.Array    # (I,) int32
+    corr_num: jax.Array            # (I,) int32 (utils.hpp:179; == effective
+    #   points for the SO3/Euler engines, the ternary detector's
+    #   highly-contributing-rotation count for XICP, icp_test_runner.cpp:3121)
     rmse: jax.Array                # (I,)
     fitness: jax.Array             # (I,)
     objective: jax.Array           # (I,)
@@ -111,6 +114,7 @@ def _empty_log(I, dtype):
     return IterationLog(
         executed=jnp.zeros(I, bool),
         effective_points=jnp.zeros(I, jnp.int32),
+        corr_num=jnp.zeros(I, jnp.int32),
         rmse=f(I, jnp.nan), fitness=f(I, jnp.nan), objective=f(I, jnp.nan),
         gradient=f((I, 6), jnp.nan), dx=f((I, 6), jnp.nan),
         transform=f((I, 4, 4), jnp.nan),
@@ -166,7 +170,17 @@ def telemetry_row(h: Hist, executed_k, detection, handling,
                   thresholds, min_effective_points, T_gt) -> IterationLog:
     """Reconstruct one iteration's full IterationLogData equivalent
     (utils.hpp:174-249) from the recorded minimal state -- pure 6x6 work,
-    batched over iterations (and lanes) by the callers."""
+    batched over iterations (and lanes) by the callers.
+
+    Reconstruction tolerance: the fast engine path applies solve_pcg_fast
+    (closed-form 3x3 eig + Cholesky) in pass 1, while this pass recomputes
+    dx with the generic solver (Jacobi EVD + spectral/PCG).  Both solve the
+    same preconditioned system; the logged dx/transform/errors agree with
+    the applied update to ~1e-5 relative (well under the golden-test 5e-3
+    envelope), but exactly at cond ~= cond_thresh the two condition
+    estimates can flip is_degenerate and select a different solver branch
+    than the one executed -- spectra remain exact; treat logged dx near the
+    threshold as reconstructed, not recorded."""
     analysis = analyze(h.H, detection, thresholds)
     dx, sinfo = solve(h.H, h.g, handling, analysis, thresholds,
                       telemetry=True)
@@ -184,6 +198,7 @@ def telemetry_row(h: Hist, executed_k, detection, handling,
         executed=executed_k & ~too_few,
         effective_points=jnp.where(executed_k, h.num_valid, 0
                                    ).astype(jnp.int32),
+        corr_num=jnp.where(executed_k, h.num_valid, 0).astype(jnp.int32),
         rmse=nanify(h.rmse), fitness=nanify(h.fitness),
         objective=nanify(h.objective),
         gradient=nanify(-h.g), dx=nanify(dx),

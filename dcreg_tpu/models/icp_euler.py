@@ -34,12 +34,29 @@ from .icp import ICPParams, ICPResult, IterationLog, _empty_log
 from ..utils import precise_jit
 
 
-def _euler_jacobian_rows(points, weighted_normals, pose):
+def _euler_jacobian_rows(points, weighted_normals, pose,
+                         faithful: bool = False):
     """LOAM trig Jacobian rows (icp_test_runner.cpp:2299-2344), vectorized.
 
     points: (N, 3) body frame; weighted_normals: (N, 3) = s * n;
     pose: (6,) [roll, pitch, yaw, x, y, z].
     Returns (N, 6) rows ordered [d/droll, d/dpitch, d/dyaw, dx, dy, dz].
+
+    ``faithful=False`` (default) returns the EXACT derivative of
+    n . (R(pose) p + t) under the engine's own ZYX composition
+    (se3.pose6d_to_matrix == utils.hpp:452-460) -- verified to machine
+    precision against jax.grad (tests/test_jacobian_oracles.py).
+
+    ``faithful=True`` reproduces the reference formula verbatim.  The
+    reference inherited LIO-SAM's camera-frame trig Jacobian but dropped
+    the lidar->camera swap of the NORMAL inside the rotation columns
+    (icp_test_runner.cpp:2326-2339 multiplies the angle-derivative groups
+    by coeff.z/coeff.x/coeff.y where the exact derivative of its own
+    Pose6D2Matrix needs coeff.x/coeff.y/coeff.z) -- the rotation block of
+    J is a cyclic mis-permutation of the true gradient.  GN still
+    converges on well-posed pairs (any J with J^T r = 0 at r = 0 shares
+    the fixed point), which is why the reference's Euler-vs-SO3 oracle
+    (icp_test_runner.h:66-102) never caught it.
     """
     srx, crx = jnp.sin(pose[1]), jnp.cos(pose[1])   # pitch
     sry, cry = jnp.sin(pose[2]), jnp.cos(pose[2])   # yaw
@@ -50,20 +67,28 @@ def _euler_jacobian_rows(points, weighted_normals, pose):
     cx, cy, cz = (weighted_normals[:, 1], weighted_normals[:, 2],
                   weighted_normals[:, 0])
 
+    # multipliers of the three angle-derivative groups in arx/ary/arz:
+    # exact = swapped normal (cx, cy, cz); faithful = the reference's
+    # unswapped pattern (cz, cx, cy)
+    if faithful:
+        m1, m2, m3 = cz, cx, cy
+    else:
+        m1, m2, m3 = cx, cy, cz
+
     crx_sry = crx * sry
     crz_sry = crz * sry
     srx_sry = srx * sry
     srx_srz = srx * srz
-    arx = ((crx_sry * srz * px + crx * crz_sry * py - srx_sry * pz) * cz
-           + (-srx_srz * px - crz * srx * py - crx * pz) * cx
-           + (crx * cry * srz * px + crx * cry * crz * py - cry * srx * pz) * cy)
+    arx = ((crx_sry * srz * px + crx * crz_sry * py - srx_sry * pz) * m1
+           + (-srx_srz * px - crz * srx * py - crx * pz) * m2
+           + (crx * cry * srz * px + crx * cry * crz * py - cry * srx * pz) * m3)
     ary = (((cry * srx_srz - crz_sry) * px + (sry * srz + cry * crz * srx) * py
-            + crx * cry * pz) * cz
+            + crx * cry * pz) * m1
            + ((-cry * crz - srx_sry * srz) * px + (cry * srz - crz * srx_sry) * py
-              - crx_sry * pz) * cy)
-    arz = (((crz * srx_sry - cry * srz) * px + (-cry * crz - srx_sry * srz) * py) * cz
-           + (crx * crz * px - crx * srz * py) * cx
-           + ((sry * srz + cry * crz * srx) * px + (crz_sry - cry * srx_srz) * py) * cy)
+              - crx_sry * pz) * m3)
+    arz = (((crz * srx_sry - cry * srz) * px + (-cry * crz - srx_sry * srz) * py) * m1
+           + (crx * crz * px - crx * srz * py) * m2
+           + ((sry * srz + cry * crz * srx) * px + (crz_sry - cry * srx_srz) * py) * m3)
     return jnp.stack([arz, arx, ary, cz, cx, cy], axis=-1)
 
 
@@ -194,6 +219,8 @@ def _icp_euler_impl(source_xyz, target_xyz, R0, t0, detection, handling,
                 executed=executed_k & ~too_few,
                 effective_points=jnp.where(executed_k, h.num_valid, 0
                                            ).astype(jnp.int32),
+                corr_num=jnp.where(executed_k, h.num_valid, 0
+                                   ).astype(jnp.int32),
                 rmse=nanify(h.rmse), fitness=nanify(h.fitness),
                 objective=nanify(h.objective),
                 gradient=nanify(-h.g), dx=nanify(dx), transform=nanify(T_new),

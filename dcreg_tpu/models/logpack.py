@@ -20,6 +20,7 @@ import numpy as np
 LOG_SPEC: List[Tuple[str, Tuple[int, ...], str]] = [
     ("executed", (), "b"),
     ("effective_points", (), "i"),
+    ("corr_num", (), "i"),
     ("rmse", (), "f"),
     ("fitness", (), "f"),
     ("objective", (), "f"),

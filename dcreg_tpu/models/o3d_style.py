@@ -73,6 +73,7 @@ def o3d_icp(source_xyz, target_xyz, R0, t0, params: ICPParams = ICPParams(),
         row = logpack.pack_row(
             dtype,
             executed=~too_few, effective_points=n_valid,
+            corr_num=n_valid,
             rmse=rmse, fitness=fitness,
             dx=dx, transform=T_new,
             trans_error=te, rot_error_deg=re,

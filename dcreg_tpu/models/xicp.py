@@ -62,6 +62,9 @@ class XICPDetection(NamedTuple):
     V_rot: jax.Array          # (3, 3) rotation-subspace directions (columns)
     V_trans: jax.Array        # (3, 3)
     remap_P: jax.Array        # (6, 6) solution-remapping projection matrix
+    n_high_rot: jax.Array     # () int32: highly-contributing count of the
+    # LAST rotation eigenvector scanned -- the reference keeps one running
+    # counter and logs it as corr_num (xicp.cpp:828, icp_test_runner.cpp:3121)
 
 
 def _eigen_analysis_3x3(H):
@@ -112,7 +115,8 @@ def detect_optimized(src_w, normals, H, mask, cfg: XICPParamsConfig):
         constraint_rot=loc_rot.astype(H.dtype),
         constraint_trans=loc_trans.astype(H.dtype),
         V_rot=V_rot, V_trans=V_trans,
-        remap_P=jnp.eye(6, dtype=H.dtype))
+        remap_P=jnp.eye(6, dtype=H.dtype),
+        n_high_rot=jnp.asarray(0, jnp.int32))
 
 
 def _ternary_one_subspace(align_vecs, direction, deltas, normals, points,
@@ -175,7 +179,7 @@ def _ternary_one_subspace(align_vecs, direction, deltas, normals, points,
                                 jnp.where(insufficient, 0.0, c_mixed)))
     else:
         c = jnp.where(fully_loc, 1.0, 0.0)
-    return localizable, c.astype(dtype)
+    return localizable, c.astype(dtype), n_high
 
 
 def detect_ternary(src_w, tgt, normals, H, mask, inequality,
@@ -189,17 +193,21 @@ def detect_ternary(src_w, tgt, normals, H, mask, inequality,
     deltas = src_w - tgt
 
     loc_r, c_r, loc_t, c_t = [], [], [], []
+    n_high_rot = jnp.asarray(0, jnp.int32)
     for i in range(3):
-        lr, cr = _ternary_one_subspace(crosses, V_rot[:, i], deltas, normals,
-                                       src_w, mask, True, inequality, cfg)
-        lt, ct = _ternary_one_subspace(normals, V_trans[:, i], deltas,
-                                       normals, src_w, mask, False,
-                                       inequality, cfg)
+        lr, cr, nh = _ternary_one_subspace(crosses, V_rot[:, i], deltas,
+                                           normals, src_w, mask, True,
+                                           inequality, cfg)
+        n_high_rot = nh    # last rot eigenvector's count (xicp.cpp:828)
+        lt, ct, _ = _ternary_one_subspace(normals, V_trans[:, i], deltas,
+                                          normals, src_w, mask, False,
+                                          inequality, cfg)
         loc_r.append(lr); c_r.append(cr); loc_t.append(lt); c_t.append(ct)
     return XICPDetection(
         loc_rot=jnp.stack(loc_r), loc_trans=jnp.stack(loc_t),
         constraint_rot=jnp.stack(c_r), constraint_trans=jnp.stack(c_t),
-        V_rot=V_rot, V_trans=V_trans, remap_P=jnp.eye(6, dtype=dtype))
+        V_rot=V_rot, V_trans=V_trans, remap_P=jnp.eye(6, dtype=dtype),
+        n_high_rot=n_high_rot)
 
 
 def detect_solution_remapping(H, cfg: XICPParamsConfig):
@@ -229,7 +237,8 @@ def detect_solution_remapping(H, cfg: XICPParamsConfig):
         loc_rot=loc_rot, loc_trans=loc_trans,
         constraint_rot=loc_rot.astype(dtype),
         constraint_trans=loc_trans.astype(dtype),
-        V_rot=V_rot, V_trans=V_trans, remap_P=P)
+        V_rot=V_rot, V_trans=V_trans, remap_P=P,
+        n_high_rot=jnp.asarray(0, jnp.int32))
 
 
 def _solve_constraint(H, b, det: XICPDetection, inequality,
@@ -253,7 +262,38 @@ def _solve_constraint(H, b, det: XICPDetection, inequality,
     # LM damping: mu = 1/initial_trust_region_radius (Ceres default 1e4)
     mu = jnp.asarray(1e-4, dtype)
     D = jnp.diag(jnp.diagonal(H_aug))
-    return linalg.solve_qr_6x6(H_aug + mu * D, b_aug)
+    dx = linalg.solve_qr_6x6(H_aug + mu * D, b_aug)
+    if inequality:
+        # Ceres step ACCEPTANCE (TrustRegionMinimizer::IsStepSuccessful).
+        # The inequality blocks have zero residual/Jacobian at x = 0, so
+        # they don't shape the step -- but Ceres re-evaluates the TRUE cost
+        # at x = dx, where max(|v.dx| - bound, 0) activates.  The
+        # point-to-plane residuals are exactly linear in delta
+        # (xicp.cpp:40-70), so the model decrease b.dx - dx.H.dx/2 is the
+        # exact point-cost decrease and the penalty is the only model
+        # mismatch: rho = (model_dec - penalty)/model_dec.  A step with
+        # rho < min_relative_decrease (Ceres default 1e-3) is REJECTED and,
+        # with max_num_iterations = 1, the solve returns x = 0 -- which the
+        # engine then reads as convergence (delta norms = 0 < thresholds,
+        # icp_test_runner.cpp:3327).  This rejection is what actually
+        # terminates the reference's archived XICP run at 9 iterations.
+        model_dec = b @ dx - 0.5 * (dx @ H @ dx)
+        pen = jnp.asarray(0.0, dtype)
+        for i in range(3):
+            for (loc, c_all, V, sl) in ((det.loc_rot, det.constraint_rot,
+                                         det.V_rot, slice(0, 3)),
+                                        (det.loc_trans, det.constraint_trans,
+                                         det.V_trans, slice(3, 6))):
+                active = ~loc[i]
+                c = c_all[i]
+                wgt = cfg.inequality_bound_multiplier * (1.0 - c)
+                proj = jnp.abs(dx[sl] @ V[:, i])
+                over = jnp.maximum(proj - c, 0.0)
+                pen = pen + jnp.where(active, 0.5 * wgt * over * over, 0.0)
+        rho = (model_dec - pen) / jnp.where(model_dec != 0.0, model_dec, 1.0)
+        ok = (model_dec > 0.0) & (rho > 1e-3)
+        dx = jnp.where(ok, dx, jnp.zeros_like(dx))
+    return dx
 
 
 def _solve_projection(H, b, det: XICPDetection, use_remap_matrix):
@@ -295,7 +335,7 @@ def xicp_register(source_xyz, target_xyz, R0, t0,
     use_remap = detection == DetectionMethod.XICP_SOLUTION_REMAPPING
 
     def body(state):
-        k, R, t, converged, aborted, H_last, buf = state
+        k, R, t, converged, aborted, H_last, buf, cum_cnt, cum_err = state
         src_w = source_xyz @ R.T + t
         sq_d, idx = nn1(src_w, target_xyz, target_valid, chunk=params.chunk)
         mask = sq_d < params.corr.search_radius ** 2
@@ -314,12 +354,20 @@ def xicp_register(source_xyz, target_xyz, R0, t0,
         b = -(Fw.T @ dot)
 
         n_valid = jnp.sum(mask.astype(jnp.int32))
-        rmse = jnp.sqrt(jnp.sum(w * dot * dot) /
-                        jnp.maximum(n_valid, 1).astype(dtype))
+        err_sum = jnp.sum(w * dot * dot)
+        # the reference's XICP engine never resets its correspondence
+        # counter / plane-error accumulator across iterations
+        # (icp_test_runner.cpp:2903-2904 declared OUTSIDE the loop), so the
+        # logged fitness is CUMULATIVE count / cloud size (values > 1) and
+        # the logged rmse is the running average -- reproduced for golden
+        # parity with iteration_history.csv's archived XICP rows.
+        cum_cnt = cum_cnt + n_valid.astype(dtype)
+        cum_err = cum_err + err_sum
+        rmse = jnp.sqrt(cum_err / jnp.maximum(cum_cnt, 1.0))
         denom = (jnp.asarray(num_source, dtype) if num_source is not None
                  else jnp.asarray(source_xyz.shape[0], dtype))
-        fitness = n_valid.astype(dtype) / denom
-        objective = 0.5 * jnp.sum(w * dot * dot)
+        fitness = cum_cnt / denom
+        objective = 0.5 * err_sum
 
         if detection == DetectionMethod.XICP_OPTIMIZED_EQUALITY:
             det = detect_optimized(src_w, normals, H, mask, xicp_cfg)
@@ -352,6 +400,7 @@ def xicp_register(source_xyz, target_xyz, R0, t0,
         row = logpack.pack_row(
             dtype,
             executed=~too_few, effective_points=n_valid,
+            corr_num=det.n_high_rot,
             rmse=rmse, fitness=fitness, objective=objective,
             gradient=-b, dx=dx, transform=T_new,
             trans_error=te, rot_error_deg=re,
@@ -367,7 +416,8 @@ def xicp_register(source_xyz, target_xyz, R0, t0,
                (jnp.linalg.norm(dx[3:]) < params.convergence_thresh_trans) & \
                ~abort_now
         H_last = jnp.where(abort_now, H_last, H)
-        return (k + 1, R_new, t_new, conv, abort_now, H_last, buf)
+        return (k + 1, R_new, t_new, conv, abort_now, H_last, buf,
+                cum_cnt, cum_err)
 
     def cond(state):
         k, converged, aborted = state[0], state[3], state[4]
@@ -375,8 +425,9 @@ def xicp_register(source_xyz, target_xyz, R0, t0,
 
     init = (jnp.asarray(0, jnp.int32), R0.astype(dtype), t0.astype(dtype),
             jnp.asarray(False), jnp.asarray(False),
-            jnp.eye(6, dtype=dtype), logpack.empty_buffer(I, dtype))
-    k, R, t, converged, aborted, H_last, buf = jax.lax.while_loop(
+            jnp.eye(6, dtype=dtype), logpack.empty_buffer(I, dtype),
+            jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype))
+    k, R, t, converged, aborted, H_last, buf, _, _ = jax.lax.while_loop(
         cond, body, init)
     log = log_from_buffer(buf)
 

@@ -169,6 +169,10 @@ def find_correspondences(source_xyz, R, t, target_xyz, target_valid=None,
     """
     p_world = source_xyz @ R.T + t
     if grid is not None:
+        if target_valid is not None:
+            raise ValueError(
+                "target_valid is not honored on the grid/BlockIndex path -- "
+                "bake validity into the index at build time instead")
         from .block_sparse import BlockIndex, block_knn
         if isinstance(grid, BlockIndex):
             # block-culled search: source_xyz MUST be Morton-sorted and the

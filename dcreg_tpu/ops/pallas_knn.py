@@ -44,7 +44,7 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _knn_kernel(qT_ref, tT_ref, tsq_ref, val_ref, idx_ref,
+def _knn_kernel(qT_ref, tT_ref, pen_ref, val_ref, idx_ref,
                 best_val, best_idx, *, kk: int, tt: int):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -56,12 +56,15 @@ def _knn_kernel(qT_ref, tT_ref, tsq_ref, val_ref, idx_ref,
 
     q = qT_ref[:]                       # (3, TQ)
     t = tT_ref[:]                       # (3, TT)
-    tsq = tsq_ref[:]                    # (1, TT); BIG at invalid/padded
-    qsq = jnp.sum(q * q, axis=0)        # (TQ,)
-    qt = jax.lax.dot_general(
-        q, t, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (TQ, TT)
-    d = jnp.maximum(qsq[:, None] + tsq - 2.0 * qt, 0.0)
+    # distances COORDINATE-WISE (subtract before squaring), not the
+    # |q|^2+|t|^2-2q.t MXU expansion: on hardware the f32 matmul runs as
+    # bf16 passes and the cancellation at LiDAR coordinate scale misranks
+    # whole neighbor lists (interpret mode hides it -- caught by the
+    # tests/test_tpu_device.py lane).  pen is (1, TT): BIG at invalid.
+    d = pen_ref[:] + jnp.zeros((q.shape[1], 1), jnp.float32)  # (TQ, TT)
+    for c in range(3):
+        diff = q[c, :][:, None] - t[c, :][None, :]
+        d = d + diff * diff
     # bias so every key is a NORMAL float: d=0 would pack to a denormal
     # whose index bits get flushed to zero by FTZ arithmetic (losing the
     # candidate's identity).  2^-30 is far below any physical distance.
@@ -131,11 +134,10 @@ def knn(query, target, target_valid=None, k: int = 5, kk: int = 8,
     mpad = _round_up(max(m, 128), tt)
     qT = jnp.pad(query, ((0, npad - n), (0, 0))).T           # (3, NQpad)
     tT = jnp.pad(target, ((0, mpad - m), (0, 0))).T          # (3, Mpad)
-    tsq = jnp.sum(tT * tT, axis=0, keepdims=True)            # (1, Mpad)
     ok = jnp.arange(mpad) < m
     if target_valid is not None:
         ok = ok & jnp.pad(target_valid, (0, mpad - m))
-    tsq = jnp.where(ok[None, :], tsq, BIG)
+    pen = jnp.where(ok[None, :], 0.0, BIG).astype(jnp.float32)  # (1, Mpad)
 
     grid = (npad // tq, mpad // tt)
     out_val, out_idx = pl.pallas_call(
@@ -170,7 +172,7 @@ def knn(query, target, target_valid=None, k: int = 5, kk: int = 8,
             bytes_accessed=(grid[0] * mpad * 16) + npad * 12 + npad * 1024,
             transcendentals=0),
         interpret=interpret,
-    )(qT, tT, tsq)
+    )(qT, tT, pen)
 
     idx = out_idx[:n, :kk].astype(jnp.int32)
     idx = jnp.clip(idx, 0, m - 1)

@@ -200,8 +200,6 @@ def solve_pcg_fast(H, g, analysis: DegeneracyAnalysis,
 def solve(H, g, method: HandlingMethod, analysis: DegeneracyAnalysis,
           thresholds: DegeneracyThresholds = DegeneracyThresholds(),
           telemetry: bool = True, fast: bool = False):
-    if fast and method is HandlingMethod.PRECONDITIONED_CG:
-        return solve_pcg_fast(H, g, analysis, thresholds)
     """Unified dispatch.  Returns (dx, SolveInfo).
 
     ``method`` may be a static HandlingMethod enum or a traced int code
@@ -214,6 +212,8 @@ def solve(H, g, method: HandlingMethod, analysis: DegeneracyAnalysis,
     ``telemetry=False`` (static) skips the cond(PH) eigendecomposition --
     the only remaining non-essential 6x6 EVD on the iteration path.
     """
+    if fast and method is HandlingMethod.PRECONDITIONED_CG:
+        return solve_pcg_fast(H, g, analysis, thresholds)
     from .degeneracy import handling_code
     dtype = H.dtype
     code = handling_code(method)

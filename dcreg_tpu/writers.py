@@ -101,7 +101,7 @@ def write_iteration_history_csv(path, records: List[MethodRunRecord]):
                 f.write(f"{r.method},{k},{log.rmse[k]:.8f},"
                         f"{log.fitness[k]:.8f},{log.trans_error[k]:.8f},"
                         f"{log.rot_error_deg[k]:.8f},"
-                        f"{int(log.effective_points[k])}\n")
+                        f"{int(log.corr_num[k])}\n")
 
 
 def write_condition_numbers_csv(path, records: List[MethodRunRecord]):

@@ -19,6 +19,8 @@ PAYLOAD = os.path.join(os.path.dirname(__file__), "tpu_device_payload.py")
 def test_pallas_kernels_and_batched_engine_on_device():
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # let the default (TPU) backend win
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(PAYLOAD)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     proc = subprocess.run(
         [sys.executable, PAYLOAD], env=env, timeout=880,
         capture_output=True, text=True)

@@ -93,7 +93,7 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
         poses12 = jnp.concatenate([Rs.reshape(B, 9), ts], axis=1)
         vals, idx = batched_block_knn(index, src_blocks,
                                       poses12.astype(jnp.float32),
-                                      qid, tid, num_pairs,
+                                      qid, tid, num_pairs, radius=radius,
                                       covered=jnp.any(rel, axis=1))
         sq_d = vals[:, :N, :k].astype(dtype)                 # (B, N, k)
         nn_idx = jnp.maximum(idx[:, :N, :k], 0)

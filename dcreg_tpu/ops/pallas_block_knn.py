@@ -10,23 +10,34 @@ occupancy instead of the max-padded dense grid or an O(N*M) scan:
   scalar-prefetch qid/tid drive the BlockSpec index maps (the MoE-style
   block-sparse pattern), so each step DMAs one 128-point source block and
   one 128-point target block;
-  per step, an unrolled loop over the B pose lanes transforms the source
-  block with that lane's (R, t) (poses live in SMEM), computes the
-  (128 targets x 128 queries) coordinate-wise squared distances on the VPU,
-  and merges the per-lane running 5-best lists held in VMEM scratch using
-  the packed-key trick (low mantissa bits carry the strip row -> unique
-  keys -> extraction is min + compare, no argmin/scatter/sort);
-  the running lists are written to the output block every step; Pallas
-  flushes them to HBM when qid changes.
+  per step, a loop over the B pose lanes transforms the source block with
+  that lane's (R, t) (poses live in SMEM), computes the (128 targets x
+  128 queries) coordinate-wise squared distances on the VPU, and merges
+  them into the per-lane running 5-best lists held in VMEM scratch.
+
+The merge is KEYS-ONLY: each candidate becomes ONE int32 key holding its
+squared distance in fixed point (the high 31-IB bits, clamped just above
+the search-radius gate) and its GLOBAL target index (the low IB bits).
+Keys are globally unique, compare in distance order, and merging top-5
+lists is 5 rounds of min / mask-the-winner -- no parallel index array, no
+argmin, no scatter, no sort.  Index extraction is a bitwise AND after the
+kernel.  The fixed-point step is clamp * 2^(IB-31) ABSOLUTE on the squared
+distance (~4e-6 m^2 at radius 1 m, IB 13) -- far below point spacing, and
+candidates beyond the clamp are rejected by the radius gate exactly as
+they would be with exact distances; every residual downstream is
+re-derived from exactly-gathered coordinates.
+
+Padding pairs (qid == nq) and, when a ``lane_mask`` is given, (pair, lane)
+combinations no lane needs, are skipped with ``pl.when`` -- the grid stays
+static while the work tracks the ACTUAL spatial occupancy, which is what
+lets the adaptive search radius (models/icp_batch.py) make late ICP
+iterations cheap.
 
 Compared against the reference's per-point KD-tree queries
 (DCReg/src/icp_test_runner.cpp:1722) this is the TPU-native shape of the
 same computation: the KD-tree's log-factor pruning becomes block-level bbox
 culling, and the per-point scalar recursion becomes dense 128x128 VPU
-tiles.  Returned distances carry the packed-key quantization (relative
-2^-15); indices are exact, and the correspondence pipeline re-derives every
-residual from exactly-gathered coordinates, so the quantization only
-perturbs the search-radius gate by ~1e-5 relative.
+tiles.
 """
 from __future__ import annotations
 
@@ -42,102 +53,109 @@ from .block_sparse import BlockIndex, QB as _QB
 
 TB = 128    # target block size (sublanes)
 QB = 128    # query block size (lanes)
-KP = 8      # padded k (sublane granularity)
+KP = 8      # padded k (sublane granularity); only the first k rows are live
+K = 5       # neighbors actually maintained (params.corr.k)
 BIG = 3.0e38
-
-# strip = KP running rows + TB candidate rows; row id packed into low bits
-_STRIP = KP + TB
-_ROW_BITS = (_STRIP - 1).bit_length()   # 8
-_ROW_MASK = (1 << _ROW_BITS) - 1
+MAX_INDEX_BITS = 15   # candidate-count cap 2^15; quantization 2^(IB-23)
 
 
-def _pack(d, rows):
-    """Pack integer row ids into the low mantissa bits of positive f32 d."""
-    bits = jax.lax.bitcast_convert_type(d, jnp.int32)
-    key = jnp.bitwise_or(jnp.bitwise_and(bits, ~jnp.int32(_ROW_MASK)), rows)
-    return jax.lax.bitcast_convert_type(key, jnp.float32)
+def _index_bits(num_cand: int) -> int:
+    """Mantissa bits needed to pack candidate ids 0..num_cand-1."""
+    ib = max(1, int(np.ceil(np.log2(max(num_cand, 2)))))
+    if ib > MAX_INDEX_BITS:
+        raise ValueError(
+            f"batched_block_knn supports at most 2^{MAX_INDEX_BITS} target "
+            f"points ({num_cand} requested); use block_knn / the sharded "
+            "map path for map-scale targets")
+    return ib
 
 
-def _unpack_val(key):
-    bits = jax.lax.bitcast_convert_type(key, jnp.int32)
-    return jax.lax.bitcast_convert_type(
-        jnp.bitwise_and(bits, ~jnp.int32(_ROW_MASK)), jnp.float32)
+INIT_KEY = np.int32(0x7FFFFFFF)
 
 
-def _kernel(qid_ref, tid_ref, src_ref, tgt_ref, pose_ref,
-            val_ref, idx_ref, run_val, run_idx, *, n_lanes: int):
+def _kernel(qid_ref, tid_ref, mask_ref, src_ref, tgt_ref, pose_ref,
+            key_ref, run_key, *, n_lanes: int, nq: int, index_bits: int,
+            scale: float, clamp: float):
     p = pl.program_id(0)
     first = jnp.where(p == 0, True,
                       qid_ref[p] != qid_ref[jnp.maximum(p - 1, 0)])
 
     @pl.when(first)
     def _init():
-        run_val[:] = jnp.full_like(run_val, BIG)
-        run_idx[:] = jnp.full_like(run_idx, -1.0)
+        run_key[:] = jnp.full_like(run_key, INIT_KEY)
 
-    src = src_ref[0]                       # (3, QB)
-    tgt = tgt_ref[0]                       # (TB, 3)
-    # Mosaic's tpu.iota is integer-only: build int32 and convert.
-    gidx = (jax.lax.broadcasted_iota(jnp.int32, (TB, QB), 0)
-            + tid_ref[p] * TB).astype(jnp.float32)
-    cand_rows = jax.lax.broadcasted_iota(jnp.int32, (TB, QB), 0) + KP
-    run_rows = jax.lax.broadcasted_iota(jnp.int32, (KP, QB), 0)
+    @pl.when(qid_ref[p] < nq)
+    def _body():
+        src = src_ref[0]                       # (3, QB)
+        tgt = tgt_ref[0]                       # (TB, 3)
+        # global candidate ids, packed into the low key bits
+        gidx = (jax.lax.broadcasted_iota(jnp.int32, (TB, QB), 0)
+                + tid_ref[p] * TB)
 
-    def lane(b, _):
-        # world-frame queries for lane b: q = R_b p + t_b (SMEM scalars)
-        q = [None] * 3
-        for c in range(3):
-            q[c] = (pose_ref[b, 3 * c + 0] * src[0:1, :] +
-                    pose_ref[b, 3 * c + 1] * src[1:2, :] +
-                    pose_ref[b, 3 * c + 2] * src[2:3, :] +
-                    pose_ref[b, 9 + c])                  # (1, QB)
-        d = jnp.zeros((TB, QB), jnp.float32)
-        for c in range(3):
-            diff = tgt[:, c:c + 1] - q[c]
-            d = d + diff * diff
-        # bias keeps keys normal floats (denormals lose their index bits)
-        d = jnp.minimum(d, BIG) + jnp.float32(2.0 ** -30)
+        def lane(b, _):
+            def merge():
+                # world-frame queries for lane b: q = R_b p + t_b (SMEM)
+                d = jnp.zeros((TB, QB), jnp.float32)
+                for c in range(3):
+                    q = (pose_ref[b, 3 * c + 0] * src[0:1, :] +
+                         pose_ref[b, 3 * c + 1] * src[1:2, :] +
+                         pose_ref[b, 3 * c + 2] * src[2:3, :] +
+                         pose_ref[b, 9 + c])                 # (1, QB)
+                    diff = tgt[:, c:c + 1] - q
+                    d = d + diff * diff
+                dq = (jnp.minimum(d, clamp) * scale).astype(jnp.int32)
+                cand = jnp.bitwise_or(
+                    jax.lax.shift_left(dq, jnp.int32(index_bits)),
+                    gidx)                                      # (TB, QB)
 
-        prev_val = run_val[pl.ds(b * KP, KP), :]         # (KP, QB)
-        prev_idx = run_idx[pl.ds(b * KP, KP), :]
-        key = jnp.concatenate(
-            [_pack(prev_val, run_rows), _pack(d, cand_rows)], axis=0)
-        sidx = jnp.concatenate([prev_idx, gidx], axis=0)  # (_STRIP, QB)
+                prev = run_key[pl.ds(b * KP, KP), :]           # (KP, QB)
+                rows = []
+                for _ in range(K):
+                    m = jnp.minimum(jnp.min(cand, axis=0, keepdims=True),
+                                    jnp.min(prev, axis=0, keepdims=True))
+                    rows.append(m)
+                    cand = jnp.where(cand == m, INIT_KEY, cand)
+                    prev = jnp.where(prev == m, INIT_KEY, prev)
+                pad = jnp.full((KP - K, QB), INIT_KEY, jnp.int32)
+                run_key[pl.ds(b * KP, KP), :] = jnp.concatenate(
+                    rows + [pad], axis=0)
 
-        vals, idxs = [], []
-        for _ in range(KP):
-            m = jnp.min(key, axis=0, keepdims=True)      # (1, QB)
-            sel = key == m
-            vals.append(_unpack_val(m))
-            idxs.append(jnp.max(jnp.where(sel, sidx, -1.0), axis=0,
-                                keepdims=True))
-            key = jnp.where(sel, BIG, key)
-        run_val[pl.ds(b * KP, KP), :] = jnp.concatenate(vals, axis=0)
-        run_idx[pl.ds(b * KP, KP), :] = jnp.concatenate(idxs, axis=0)
-        return 0
+            if mask_ref is None:
+                merge()
+            else:
+                word = mask_ref[p, b // 32]
+                pl.when(((word >> (b % 32)) & 1) != 0)(merge)
+            return 0
 
-    jax.lax.fori_loop(0, n_lanes, lane, 0, unroll=False)
-    val_ref[0] = run_val[:]
-    idx_ref[0] = run_idx[:]
+        jax.lax.fori_loop(0, n_lanes, lane, 0, unroll=False)
+
+    key_ref[0] = run_key[:]
 
 
-@functools.partial(jax.jit, static_argnames=("num_pairs", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_pairs", "radius", "interpret"))
 def batched_block_knn(index: BlockIndex, src_blocks, poses, qid, tid,
-                      num_pairs: int, covered=None, interpret: bool = False):
+                      num_pairs: int, radius: float = 1.0, covered=None,
+                      lane_mask=None, interpret: bool = False):
     """All-lane 5-NN for one ICP iteration.
 
-    index: BlockIndex with TB=128 blocks (build_block_index_128);
+    index: BlockIndex with TB=128 blocks;
     src_blocks: (nq, 3, QB) Morton-sorted source, blocked and transposed;
     poses: (B, 12) rows [R row-major (9), t (3)];
     qid/tid: (P,) int32 pair list sorted by qid -- padding pairs carry
-    qid = nq (trash output row) and tid = nbt (sentinel BIG block);
+    qid = nq (skipped, flushed to a trash output row) and tid = nbt;
+    radius: search radius (static) -- squared distances are exact up to
+    the fixed-point step below ~1.1*radius^2 and clamped above it (the
+    correspondence gate rejects those regardless);
     covered: optional (nq,) bool, True where the query block appears in at
-    least one pair.  The kernel only writes pair-listed output rows, so rows
-    of uncovered blocks hold uninitialized device memory -- when ``covered``
-    is given those rows are post-masked to (BIG, -1).
+    least one pair.  The kernel only writes pair-listed output rows, so
+    rows of uncovered blocks hold uninitialized device memory -- when
+    ``covered`` is given those rows are post-masked to (BIG, -1);
+    lane_mask: optional (P, ceil(B/32)) int32 per-lane relevance bit words
+    (see ``pack_lane_mask``); lanes whose bit is 0 skip the pair entirely.
 
-    Returns (sq_dists (B, nq*QB, KP) quantized-key values ascending,
-    idx (B, nq*QB, KP) int32 into the sorted target, -1 where missing).
+    Returns (sq_dists (B, nq*QB, KP) ascending, idx (B, nq*QB, KP) int32
+    into the sorted target, -1 where missing).  Rows K..KP-1 are BIG/-1.
     """
     interpret = interpret or jax.default_backend() == "cpu"
     src_blocks = src_blocks.astype(jnp.float32)
@@ -145,6 +163,11 @@ def batched_block_knn(index: BlockIndex, src_blocks, poses, qid, tid,
     nq = src_blocks.shape[0]
     B = poses.shape[0]
     nbt = index.num_blocks
+    ib = _index_bits((nbt + 1) * TB)
+    imask = (1 << ib) - 1
+    vmax = (1 << (31 - ib)) - 1
+    clamp = 1.1 * float(radius) ** 2
+    scale = (vmax - 1) / clamp
 
     # target blocks with a trailing BIG sentinel block (for padding pairs)
     tgt = jnp.concatenate(
@@ -153,54 +176,78 @@ def batched_block_knn(index: BlockIndex, src_blocks, poses, qid, tid,
         [index.valid, jnp.zeros((1, TB), bool)], axis=0)[..., None],
         tgt, BIG)
 
+    in_specs = [
+        pl.BlockSpec((1, 3, QB),
+                     lambda p, qv, tv, *_: (jnp.minimum(qv[p], nq - 1), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TB, 3), lambda p, qv, tv, *_: (tv[p], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    num_prefetch = 2
+    operands = [qid, tid, src_blocks, tgt, poses]
+    if lane_mask is not None:
+        num_prefetch = 3
+        operands = [qid, tid, lane_mask, src_blocks, tgt, poses]
+
+    kw = dict(n_lanes=B, nq=nq, index_bits=ib, scale=scale, clamp=clamp)
+
+    def make_kernel(with_mask):
+        if with_mask:
+            return functools.partial(_kernel, **kw)
+        return functools.partial(
+            lambda q, t, s, g, po, k, r, **kw2:
+                _kernel(q, t, None, s, g, po, k, r, **kw2),
+            **kw)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=num_prefetch,
         grid=(num_pairs,),
-        in_specs=[
-            pl.BlockSpec((1, 3, QB), lambda p, qv, tv: (jnp.minimum(qv[p], nq - 1), 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TB, 3), lambda p, qv, tv: (tv[p], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, B * KP, QB), lambda p, qv, tv: (qv[p], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B * KP, QB), lambda p, qv, tv: (qv[p], 0, 0),
+            pl.BlockSpec((1, B * KP, QB),
+                         lambda p, qv, tv, *_: (qv[p], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B * KP, QB), jnp.float32),
-            pltpu.VMEM((B * KP, QB), jnp.float32),
+            pltpu.VMEM((B * KP, QB), jnp.int32),
         ],
     )
-    out_val, out_idx = pl.pallas_call(
-        functools.partial(_kernel, n_lanes=B),
+    (out_key,) = pl.pallas_call(
+        make_kernel(lane_mask is not None),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nq + 1, B * KP, QB), jnp.float32),
-            jax.ShapeDtypeStruct((nq + 1, B * KP, QB), jnp.float32),
+            jax.ShapeDtypeStruct((nq + 1, B * KP, QB), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
-            flops=num_pairs * B * TB * QB * 40,
+            flops=num_pairs * B * TB * QB * 18,
             bytes_accessed=num_pairs * (TB * 3 + 3 * QB) * 4
-            + (nq + 1) * B * KP * QB * 8,
+            + (nq + 1) * B * KP * QB * 4,
             transcendentals=0),
         interpret=interpret,
-    )(qid, tid, src_blocks, tgt, poses)
+    )(*operands)
 
-    out_val, out_idx = out_val[:nq], out_idx[:nq]
+    out_key = out_key[:nq]
+    missing = out_key >= (vmax << ib)
+    out_idx = jnp.where(missing, -1,
+                        jnp.minimum(jnp.bitwise_and(out_key, imask),
+                                    index.num_points - 1))
+    out_val = jnp.where(
+        missing, BIG,
+        jax.lax.shift_right_logical(out_key, jnp.int32(ib))
+        .astype(jnp.float32)
+        * jnp.float32(1.0 / scale))
     if covered is not None:
         cov = covered.reshape(nq, 1, 1)
         out_val = jnp.where(cov, out_val, BIG)
-        out_idx = jnp.where(cov, out_idx, -1.0)
+        out_idx = jnp.where(cov, out_idx, -1)
     # (nq, B, KP, QB) -> (B, nq, QB, KP) -> (B, N, KP)
     val = out_val.reshape(nq, B, KP, QB).transpose(1, 0, 3, 2)
     idx = out_idx.reshape(nq, B, KP, QB).transpose(1, 0, 3, 2)
     val = val.reshape(B, nq * QB, KP)
-    idx = idx.reshape(B, nq * QB, KP).astype(jnp.int32)
+    idx = idx.reshape(B, nq * QB, KP)
     return val, idx
 
 
@@ -226,12 +273,34 @@ def make_pair_list(rel, num_pairs: int):
     return qid, tid, jnp.maximum(total - num_pairs, 0)
 
 
-def lane_relevance(slo, shi, Rs, ts, tlo, thi, radius):
+def pack_lane_mask(rel_lanes, qid, tid):
+    """Per-pair lane-relevance bit words for the kernel's lane skip.
+
+    rel_lanes: (B, nq, nbt) bool per-lane relevance; qid/tid: (P,) pair
+    list (padding pairs qid=nq/tid=nbt get word 0).  Returns
+    (P, ceil(B/32)) int32."""
+    B, nq, nbt = rel_lanes.shape
+    W = -(-B // 32)
+    lanes = jnp.arange(B, dtype=jnp.int32)
+    shifted = jnp.where(
+        rel_lanes, jnp.int32(1) << (lanes % 32)[:, None, None], 0)
+    words = jnp.zeros((W, nq, nbt), jnp.int32)
+    words = words.at[lanes // 32].add(shifted)        # OR via add: bits unique
+    pad = qid >= nq
+    q = jnp.where(pad, 0, qid)
+    t = jnp.where(pad, 0, tid)
+    out = words[:, q, t].T                            # (P, W)
+    return jnp.where(pad[:, None], 0, out)
+
+
+def lane_relevance(slo, shi, Rs, ts, tlo, thi, radius, per_lane=False):
     """Relevance matrix for a batch of poses via interval arithmetic.
 
     slo/shi: (nq, 3) source block bboxes (body frame); Rs (B, 3, 3),
-    ts (B, 3); tlo/thi: (nbt, 3) target block bboxes.  Returns (nq, nbt)
-    bool: any lane's transformed query bbox within ``radius``."""
+    ts (B, 3); tlo/thi: (nbt, 3) target block bboxes.  ``radius`` is a
+    scalar or a per-lane (B,) array.  Returns (nq, nbt) bool (any lane
+    within ``radius``), or the per-lane (B, nq, nbt) bool when
+    ``per_lane``."""
     # transformed bbox: per output coord, sum of per-input-coord term
     # intervals (summing first and then taking min/max would under-cover)
     m = Rs[:, None, :, :] * slo[None, :, None, :]            # (B, nq, 3, 3)
@@ -242,4 +311,7 @@ def lane_relevance(slo, shi, Rs, ts, tlo, thi, radius):
                       jnp.maximum(qlo[:, :, None, :] - thi[None, None, :, :],
                                   tlo[None, None, :, :] - qhi[:, :, None, :]))
     d2 = jnp.sum(gap * gap, axis=-1)                         # (B, nq, nbt)
-    return jnp.any(d2 <= radius * radius, axis=0)
+    r = jnp.asarray(radius)
+    r2 = jnp.reshape(r * r, (-1, 1, 1)) if r.ndim else r * r
+    rel = d2 <= r2
+    return rel if per_lane else jnp.any(rel, axis=0)

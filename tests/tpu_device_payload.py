@@ -85,6 +85,7 @@ def main() -> int:
     assert int(ovf) == 0
     poses12 = jnp.concatenate([Rs.reshape(B, 9), ts], axis=1)
     vals, idx = batched_block_knn(index, src_blocks, poses12, qid, tid, P,
+                                  radius=radius,
                                   covered=jnp.any(rel, axis=1),
                                   interpret=False)
     vals, idx = np.asarray(vals), np.asarray(idx)
@@ -93,7 +94,10 @@ def main() -> int:
         q = np.asarray(pts) @ np.asarray(Rs[b]).T + np.asarray(ts[b])
         d_o, i_o = brute_knn(jnp.asarray(q, dtype), pts, k=k)
         d_o, i_o = np.asarray(d_o), np.asarray(i_o)
-        in_r = d_o[:, 0] <= radius * radius * 0.81  # clear of block-cull edge
+        # all 5 true NN must be inside the fixed-point clamp region (and
+        # clear of the block-cull edge) for the returned ids to be exact;
+        # beyond the radius gate the kernel's order is arbitrary by design
+        in_r = d_o[:, 4] <= radius * radius * 0.81
         got = np.sort(idx[b, :N, :k], -1)
         want = np.sort(i_o, -1)
         ok = np.mean(np.all(got[in_r] == want[in_r], axis=-1))

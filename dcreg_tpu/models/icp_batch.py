@@ -34,7 +34,7 @@ from ..ops.correspondence import correspondence_tail
 from ..ops.degeneracy import DetectionMethod, HandlingMethod, analyze
 from ..ops.gauss_newton import build_system
 from ..ops.pallas_block_knn import (QB, batched_block_knn, lane_relevance,
-                                    make_pair_list)
+                                    make_pair_list, pack_lane_mask)
 from ..ops.solvers import solve
 from ..utils import precise
 from .icp import (ICPParams, ICPResult, Hist, empty_hist, _empty_log,
@@ -87,14 +87,30 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
     slo = jnp.min(src_q, axis=1)
     shi = jnp.max(src_q, axis=1)
 
-    def one_iteration(Rs, ts):
-        rel = lane_relevance(slo, shi, Rs, ts, index.lo, index.hi, radius)
+    # adaptive-culling exactness bound: a source point moves at most
+    # |dw|*pmax + |dv| between iterations (right boxplus), so last
+    # iteration's per-(lane, query-block) 5th-NN distance plus that motion
+    # bounds this iteration's 5th-NN distance -- blocks can be culled at
+    # that radius EXACTLY (every true 5-NN and the radius gate unchanged)
+    pmax = jnp.sqrt(jnp.max(jnp.sum(source_xyz * source_xyz, axis=1)))
+
+    def one_iteration(Rs, ts, r_cull, active):
+        rel_l = lane_relevance(slo, shi, Rs, ts, index.lo, index.hi,
+                               r_cull, per_lane=True)        # (B, nq, nbt)
+        rel_l = rel_l & active[:, None, None]
+        rel = jnp.any(rel_l, axis=0)
         qid, tid, overflow = make_pair_list(rel, num_pairs)
+        lmask = pack_lane_mask(rel_l, qid, tid)
         poses12 = jnp.concatenate([Rs.reshape(B, 9), ts], axis=1)
         vals, idx = batched_block_knn(index, src_blocks,
                                       poses12.astype(jnp.float32),
                                       qid, tid, num_pairs, radius=radius,
-                                      covered=jnp.any(rel, axis=1))
+                                      covered=jnp.any(rel, axis=1),
+                                      lane_mask=lmask)
+        # exact 5th-NN distance per (lane, query block); BIG where a block
+        # was uncovered -> falls back to the full radius below
+        d5bm = jnp.sqrt(jnp.max(vals[:, :, k - 1].reshape(B, nq, QB),
+                                axis=2))
         sq_d = vals[:, :N, :k].astype(dtype)                 # (B, N, k)
         nn_idx = jnp.maximum(idx[:, :N, :k], 0)
         neigh = target_xyz[nn_idx]                           # (B, N, k, 3)
@@ -119,13 +135,14 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
 
         sysm, dx, abort_now = jax.vmap(lane)(p_w, sq_d, nn_idx, neigh,
                                              Rs, ts)
-        return sysm, dx, abort_now, overflow
+        return sysm, dx, abort_now, overflow, d5bm
 
     # ---- pass 1: the joint optimization loop -----------------------------
     def body(state):
-        it, Rs, ts, conv, abt, iters, hist, ovf = state
+        it, Rs, ts, conv, abt, iters, hist, ovf, r_cull = state
         active = ~(conv | abt)
-        sysm, dx, abort_now, overflow = one_iteration(Rs, ts)
+        sysm, dx, abort_now, overflow, d5bm = \
+            one_iteration(Rs, ts, r_cull, active)
         abort_now = abort_now & active
         # record pre-update state for active lanes
         put = lambda dst, val: dst.at[:, it].set(
@@ -149,8 +166,15 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
         conv = conv | (active & step_conv)
         abt = abt | abort_now
         iters = jnp.where(active, it + 1, iters)
+        # next iteration's exact cull radius (margins: motion bound slack
+        # + fixed-point quantization of d5)
+        move = (jnp.linalg.norm(dx[:, :3], axis=1) * pmax
+                + jnp.linalg.norm(dx[:, 3:], axis=1))
+        r_new = jnp.minimum(jnp.float32(radius),
+                            d5bm + (1.05 * move + 0.01)[:, None])
+        r_cull = jnp.where(active[:, None], r_new, r_cull)
         return (it + 1, Rs, ts, conv, abt, iters, hist,
-                jnp.maximum(ovf, overflow.astype(jnp.int32)))
+                jnp.maximum(ovf, overflow.astype(jnp.int32)), r_cull)
 
     def cond(state):
         it, Rs, ts, conv, abt = state[:5]
@@ -159,8 +183,9 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
     state0 = (jnp.asarray(0, jnp.int32), R0s.astype(dtype),
               t0s.astype(dtype), jnp.zeros(B, bool), jnp.zeros(B, bool),
               jnp.zeros(B, jnp.int32), empty_hist(I, dtype, lead=(B,)),
-              jnp.asarray(0, jnp.int32))
-    it, Rs, ts, conv, abt, iters, hist, ovf = \
+              jnp.asarray(0, jnp.int32),
+              jnp.full((B, nq), radius, jnp.float32))
+    it, Rs, ts, conv, abt, iters, hist, ovf, _ = \
         jax.lax.while_loop(cond, body, state0)
 
     last = jnp.maximum(iters - 1, 0)

@@ -298,9 +298,10 @@ def lane_relevance(slo, shi, Rs, ts, tlo, thi, radius, per_lane=False):
 
     slo/shi: (nq, 3) source block bboxes (body frame); Rs (B, 3, 3),
     ts (B, 3); tlo/thi: (nbt, 3) target block bboxes.  ``radius`` is a
-    scalar or a per-lane (B,) array.  Returns (nq, nbt) bool (any lane
-    within ``radius``), or the per-lane (B, nq, nbt) bool when
-    ``per_lane``."""
+    scalar, a per-lane (B,) array, or a per-(lane, query-block) (B, nq)
+    array (the adaptive-culling path, models/icp_batch.py).  Returns
+    (nq, nbt) bool (any lane within ``radius``), or the per-lane
+    (B, nq, nbt) bool when ``per_lane``."""
     # transformed bbox: per output coord, sum of per-input-coord term
     # intervals (summing first and then taking min/max would under-cover)
     m = Rs[:, None, :, :] * slo[None, :, None, :]            # (B, nq, 3, 3)
@@ -312,6 +313,9 @@ def lane_relevance(slo, shi, Rs, ts, tlo, thi, radius, per_lane=False):
                                   tlo[None, None, :, :] - qhi[:, :, None, :]))
     d2 = jnp.sum(gap * gap, axis=-1)                         # (B, nq, nbt)
     r = jnp.asarray(radius)
-    r2 = jnp.reshape(r * r, (-1, 1, 1)) if r.ndim else r * r
-    rel = d2 <= r2
+    if r.ndim == 1:
+        r = r[:, None, None]
+    elif r.ndim == 2:
+        r = r[:, :, None]
+    rel = d2 <= r * r
     return rel if per_lane else jnp.any(rel, axis=0)

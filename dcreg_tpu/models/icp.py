@@ -149,6 +149,7 @@ class Hist(NamedTuple):
     t: jax.Array         # (I, 3)
     H: jax.Array         # (I, 6, 6)
     g: jax.Array         # (I, 6)
+    dx: jax.Array        # (I, 6) the APPLIED update (zero on abort)
     num_valid: jax.Array  # (I,) int32
     rmse: jax.Array      # (I,)
     fitness: jax.Array   # (I,)
@@ -160,6 +161,7 @@ def empty_hist(I, dtype, lead=()) -> Hist:
                 t=jnp.zeros(lead + (I, 3), dtype),
                 H=jnp.zeros(lead + (I, 6, 6), dtype),
                 g=jnp.zeros(lead + (I, 6), dtype),
+                dx=jnp.zeros(lead + (I, 6), dtype),
                 num_valid=jnp.zeros(lead + (I,), jnp.int32),
                 rmse=jnp.full(lead + (I,), jnp.nan, dtype),
                 fitness=jnp.full(lead + (I,), jnp.nan, dtype),
@@ -172,25 +174,19 @@ def telemetry_row(h: Hist, executed_k, detection, handling,
     (utils.hpp:174-249) from the recorded minimal state -- pure 6x6 work,
     batched over iterations (and lanes) by the callers.
 
-    Reconstruction tolerance: the fast engine path applies solve_pcg_fast
-    (closed-form 3x3 eig + Cholesky) in pass 1, while this pass recomputes
-    dx with the generic solver (Jacobi EVD + spectral/PCG).  Both solve the
-    same preconditioned system; the logged dx/transform/errors agree with
-    the applied update to ~1e-5 relative (well under the golden-test 5e-3
-    envelope), but exactly at cond ~= cond_thresh the two condition
-    estimates can flip is_degenerate and select a different solver branch
-    than the one executed -- spectra remain exact; treat logged dx near the
-    threshold as reconstructed, not recorded."""
+    The reported dx/transform/errors use the RECORDED applied update
+    (Hist.dx), so they match the executed solve exactly even on the fast
+    engine path; only the spectra and the solver extras (P/W, PCG stats,
+    cond_PH) are recomputed here, with the generic solver's branch choice
+    -- exactly at cond ~= cond_thresh those extras can reflect a different
+    branch than the one executed."""
     analysis = analyze(h.H, detection, thresholds)
-    dx, sinfo = solve(h.H, h.g, handling, analysis, thresholds,
-                      telemetry=True)
+    _, sinfo = solve(h.H, h.g, handling, analysis, thresholds,
+                     telemetry=True)
     too_few = h.num_valid < min_effective_points
-    abort_now = too_few | ~jnp.all(jnp.isfinite(dx))
-    dx = jnp.where(abort_now, jnp.zeros_like(dx), dx)
+    dx = h.dx
     ana = analysis
     R_new, t_new = se3.boxplus(h.R, h.t, dx)
-    R_new = jnp.where(abort_now, h.R, R_new)
-    t_new = jnp.where(abort_now, h.t, t_new)
     T_new = se3.se3_matrix(R_new, t_new)
     te, re = se3.pose_error(T_gt, T_new)
     nanify = lambda x: jnp.where(executed_k, x, jnp.full_like(x, jnp.nan))
@@ -343,6 +339,7 @@ def _icp_so3_body(source_xyz, target_xyz, R0, t0, detection, handling,
         _, sysm, _, dx, _, too_few, abort_now = one_iteration(R, t, False)
         hist = Hist(R=hist.R.at[k].set(R), t=hist.t.at[k].set(t),
                     H=hist.H.at[k].set(sysm.H), g=hist.g.at[k].set(sysm.g),
+                    dx=hist.dx.at[k].set(dx),
                     num_valid=hist.num_valid.at[k].set(
                         sysm.num_valid.astype(jnp.int32)),
                     rmse=hist.rmse.at[k].set(sysm.rmse),

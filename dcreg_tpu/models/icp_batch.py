@@ -30,9 +30,8 @@ import jax.numpy as jnp
 
 from ..ops import se3
 from ..ops.block_sparse import BlockIndex
-from ..ops.correspondence import correspondence_tail
 from ..ops.degeneracy import DetectionMethod, HandlingMethod, analyze
-from ..ops.gauss_newton import build_system
+from ..ops.soa_tail import batched_tail_system
 from ..ops.pallas_block_knn import (QB, batched_block_knn, lane_relevance,
                                     make_pair_list, pack_lane_mask)
 from ..ops.solvers import solve
@@ -106,35 +105,29 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
                                       poses12.astype(jnp.float32),
                                       qid, tid, num_pairs, radius=radius,
                                       covered=jnp.any(rel, axis=1),
-                                      lane_mask=lmask)
+                                      lane_mask=lmask, layout="kn")
         # exact 5th-NN distance per (lane, query block); BIG where a block
         # was uncovered -> falls back to the full radius below
-        d5bm = jnp.sqrt(jnp.max(vals[:, :, k - 1].reshape(B, nq, QB),
-                                axis=2))
-        sq_d = vals[:, :N, :k].astype(dtype)                 # (B, N, k)
-        nn_idx = jnp.maximum(idx[:, :N, :k], 0)
-        neigh = target_xyz[nn_idx]                           # (B, N, k, 3)
-        p_w = jnp.einsum('nj,bij->bni', source_xyz, Rs) + ts[:, None, :]
+        d5row = vals[:, k - 1, :]                            # (B, nq*QB)
+        d5bm = jnp.sqrt(jnp.max(d5row.reshape(B, nq, QB), axis=2))
+        sysm = batched_tail_system(
+            source_xyz, target_xyz, Rs, ts,
+            sq_d5=d5row[:, :N].astype(dtype), idx_kn=idx[:, :k, :N],
+            params=params.corr,
+            use_weight_derivative=params.use_weight_derivative,
+            weight_slope=params.corr.weight_slope)
 
-        def lane(p_w_l, sq_d_l, idx_l, neigh_l, R, t):
-            corr = correspondence_tail(p_w_l, sq_d_l, idx_l, neigh_l,
-                                       params.corr)
-            sysm = build_system(
-                source_xyz, R, t, corr,
-                use_weight_derivative=params.use_weight_derivative,
-                weight_slope=params.corr.weight_slope)
-            analysis = analyze(sysm.H, detection, params.thresholds,
-                               fast=fast)
-            dx, _ = solve(sysm.H, sysm.g, handling, analysis,
-                          params.thresholds, telemetry=False, fast=fast)
-            too_few = sysm.num_valid < params.min_effective_points
+        def lane_solve(H, g, num_valid):
+            analysis = analyze(H, detection, params.thresholds, fast=fast)
+            dx, _ = solve(H, g, handling, analysis, params.thresholds,
+                          telemetry=False, fast=fast)
+            too_few = num_valid < params.min_effective_points
             bad_dx = ~jnp.all(jnp.isfinite(dx))
             abort_now = too_few | bad_dx
             dx = jnp.where(abort_now, jnp.zeros_like(dx), dx)
-            return sysm, dx, abort_now
+            return dx, abort_now
 
-        sysm, dx, abort_now = jax.vmap(lane)(p_w, sq_d, nn_idx, neigh,
-                                             Rs, ts)
+        dx, abort_now = jax.vmap(lane_solve)(sysm.H, sysm.g, sysm.num_valid)
         return sysm, dx, abort_now, overflow, d5bm
 
     # ---- pass 1: the joint optimization loop -----------------------------
@@ -150,6 +143,7 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
                       val, dst[:, it]))
         hist = Hist(R=put(hist.R, Rs), t=put(hist.t, ts),
                     H=put(hist.H, sysm.H), g=put(hist.g, sysm.g),
+                    dx=put(hist.dx, dx),
                     num_valid=put(hist.num_valid,
                                   sysm.num_valid.astype(jnp.int32)),
                     rmse=put(hist.rmse, sysm.rmse),

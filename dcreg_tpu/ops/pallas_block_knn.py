@@ -133,10 +133,12 @@ def _kernel(qid_ref, tid_ref, mask_ref, src_ref, tgt_ref, pose_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_pairs", "radius", "interpret"))
+                   static_argnames=("num_pairs", "radius", "layout",
+                                    "interpret"))
 def batched_block_knn(index: BlockIndex, src_blocks, poses, qid, tid,
                       num_pairs: int, radius: float = 1.0, covered=None,
-                      lane_mask=None, interpret: bool = False):
+                      lane_mask=None, layout: str = "nk",
+                      interpret: bool = False):
     """All-lane 5-NN for one ICP iteration.
 
     index: BlockIndex with TB=128 blocks;
@@ -154,8 +156,11 @@ def batched_block_knn(index: BlockIndex, src_blocks, poses, qid, tid,
     lane_mask: optional (P, ceil(B/32)) int32 per-lane relevance bit words
     (see ``pack_lane_mask``); lanes whose bit is 0 skip the pair entirely.
 
-    Returns (sq_dists (B, nq*QB, KP) ascending, idx (B, nq*QB, KP) int32
-    into the sorted target, -1 where missing).  Rows K..KP-1 are BIG/-1.
+    Returns (sq_dists ascending, idx int32 into the sorted target, -1
+    where missing); rows K..KP-1 are BIG/-1.  ``layout`` picks the output
+    shape: "nk" -> (B, nq*QB, KP) (AoS, needs a lane<->sublane transpose);
+    "kn" -> (B, KP, nq*QB) (SoA, minor dim preserved -- free; feeds
+    ops/soa_tail.batched_tail_system).
     """
     interpret = interpret or jax.default_backend() == "cpu"
     src_blocks = src_blocks.astype(jnp.float32)
@@ -243,11 +248,16 @@ def batched_block_knn(index: BlockIndex, src_blocks, poses, qid, tid,
         cov = covered.reshape(nq, 1, 1)
         out_val = jnp.where(cov, out_val, BIG)
         out_idx = jnp.where(cov, out_idx, -1)
+    out_val = out_val.reshape(nq, B, KP, QB)
+    out_idx = out_idx.reshape(nq, B, KP, QB)
+    if layout == "kn":
+        # (nq, B, KP, QB) -> (B, KP, nq, QB) -> (B, KP, N): QB stays minor
+        val = out_val.transpose(1, 2, 0, 3).reshape(B, KP, nq * QB)
+        idx = out_idx.transpose(1, 2, 0, 3).reshape(B, KP, nq * QB)
+        return val, idx
     # (nq, B, KP, QB) -> (B, nq, QB, KP) -> (B, N, KP)
-    val = out_val.reshape(nq, B, KP, QB).transpose(1, 0, 3, 2)
-    idx = out_idx.reshape(nq, B, KP, QB).transpose(1, 0, 3, 2)
-    val = val.reshape(B, nq * QB, KP)
-    idx = idx.reshape(B, nq * QB, KP)
+    val = out_val.transpose(1, 0, 3, 2).reshape(B, nq * QB, KP)
+    idx = out_idx.transpose(1, 0, 3, 2).reshape(B, nq * QB, KP)
     return val, idx
 
 

@@ -197,6 +197,54 @@ def solve_pcg_fast(H, g, analysis: DegeneracyAnalysis,
     return x, info
 
 
+def _solve_static(H, g, method: HandlingMethod,
+                  analysis: DegeneracyAnalysis,
+                  thresholds: DegeneracyThresholds, telemetry: bool):
+    """Single-handler solve for a statically-known method (see solve())."""
+    dtype = H.dtype
+    eye = jnp.eye(6, dtype=dtype)
+    zero6 = jnp.zeros((6, 6), dtype)
+    no_iters = jnp.asarray(-1, jnp.int32)
+    nan = jnp.asarray(jnp.nan, dtype)
+    info = SolveInfo(P_preconditioner=eye, W_adaptive=zero6,
+                     pcg_iterations=no_iters, pcg_residual=nan, cond_PH=nan)
+    if method is HandlingMethod.NONE:
+        return solve_none(analysis, g), info
+    if method is HandlingMethod.SOLUTION_REMAPPING:
+        return solve_solution_remapping(analysis, g), info
+    if method is HandlingMethod.TRUNCATED_SVD:
+        return solve_truncated_svd(analysis, g), info
+    if method is HandlingMethod.STANDARD_REGULARIZATION:
+        return solve_standard_regularization(
+            analysis, g, thresholds.std_reg_gamma), info
+    P = targeted_preconditioner(analysis, thresholds.kappa_target)
+    if method is HandlingMethod.ADAPTIVE_REGULARIZATION:
+        W = adaptive_regularizer(analysis, thresholds.adaptive_reg_alpha)
+        W = jnp.where(analysis.is_degenerate, W, jnp.zeros_like(W))
+        x, _, _ = pcg_unrolled(H + W, g, P, 2 * thresholds.pcg_max_iter,
+                               thresholds.pcg_tolerance)
+        return x, info._replace(W_adaptive=W)
+    if method is not HandlingMethod.PRECONDITIONED_CG:
+        # engine-level methods (XICP_*, SUPERLOC, O3D) fall back to the
+        # plain solve, matching handling_code's default code 0
+        return solve_none(analysis, g), info
+    x_raw, pcg_iters, pcg_resid = pcg_unrolled(
+        H, g, P, thresholds.pcg_max_iter, thresholds.pcg_tolerance)
+    use_pcg = analysis.is_degenerate
+    x = jnp.where(use_pcg, x_raw, solve_none(analysis, g))
+    if telemetry:
+        sqrtP = _schur_sqrt_precond(analysis, thresholds.kappa_target)
+        wm, _ = linalg.symmetric_eigh(sqrtP @ H @ sqrtP)
+        cond_PH = linalg.condition_number(wm)
+    else:
+        cond_PH = nan
+    return x, SolveInfo(
+        P_preconditioner=P, W_adaptive=zero6,
+        pcg_iterations=jnp.where(use_pcg, pcg_iters, no_iters),
+        pcg_residual=jnp.where(use_pcg, pcg_resid, nan),
+        cond_PH=cond_PH)
+
+
 def solve(H, g, method: HandlingMethod, analysis: DegeneracyAnalysis,
           thresholds: DegeneracyThresholds = DegeneracyThresholds(),
           telemetry: bool = True, fast: bool = False):
@@ -214,6 +262,12 @@ def solve(H, g, method: HandlingMethod, analysis: DegeneracyAnalysis,
     """
     if fast and method is HandlingMethod.PRECONDITIONED_CG:
         return solve_pcg_fast(H, g, analysis, thresholds)
+    if isinstance(method, HandlingMethod):
+        # static dispatch: compute ONLY the selected handler (the traced-
+        # code path below evaluates every candidate so one compile can
+        # cover the whole method matrix -- wasteful when the method is
+        # known, e.g. the telemetry reconstruction pass)
+        return _solve_static(H, g, method, analysis, thresholds, telemetry)
     from .degeneracy import handling_code
     dtype = H.dtype
     code = handling_code(method)

@@ -40,6 +40,7 @@ class TestRunner:
         self.stats: Dict[str, dict] = {}
         self.source = None
         self.target = None
+        self.grid = None
 
     # -- data ------------------------------------------------------------
     def load_point_clouds(self, source_xyz=None, target_xyz=None):
@@ -55,6 +56,13 @@ class TestRunner:
                           else load_pcd(tgt_path)["xyz"])
         self.source = jnp.asarray(np.asarray(source_xyz), dtype=self.dtype)
         self.target = jnp.asarray(np.asarray(target_xyz), dtype=self.dtype)
+        if self.config.use_grid_index:
+            # one-time spatial index build (the reference's KD-tree build,
+            # utils.hpp:393-424) shared by every method and run
+            from .ops.voxel_grid import build_grid_index
+            self.grid = build_grid_index(
+                np.asarray(self.target), self.config.search_radius,
+                dtype=self.dtype)
         return self
 
     # -- single test ------------------------------------------------------
@@ -65,26 +73,27 @@ class TestRunner:
         T_gt = jnp.asarray(cfg.gt_matrix(), dtype=self.dtype)
         params = cfg.icp_params()
 
+        grid = self.grid
         if method_name == "O3D":
             run = lambda: o3d_icp(
                 self.source, self.target, T0[:3, :3], T0[:3, 3],
-                params, T_gt=T_gt)
+                params, T_gt=T_gt, grid=grid)
         elif method_name.startswith("XICP"):
             run = lambda: xicp_register(
                 self.source, self.target, T0[:3, :3], T0[:3, 3],
-                detection, handling, params, cfg.xicp, T_gt=T_gt)
+                detection, handling, params, cfg.xicp, T_gt=T_gt, grid=grid)
         elif method_name == "SuperLoc":
             run = lambda: superloc_register(
                 self.source, self.target, T0[:3, :3], T0[:3, 3],
-                params, T_gt=T_gt)
+                params, T_gt=T_gt, grid=grid)
         elif cfg.use_so3_parameterization:
             run = lambda: icp_point_to_plane_so3(
                 self.source, self.target, T0[:3, :3], T0[:3, 3],
-                detection, handling, params, T_gt=T_gt)
+                detection, handling, params, T_gt=T_gt, grid=grid)
         else:
             run = lambda: icp_point_to_plane_euler(
                 self.source, self.target, T0[:3, :3], T0[:3, 3],
-                detection, handling, params, T_gt=T_gt)
+                detection, handling, params, T_gt=T_gt, grid=grid)
 
         if warmup:  # compile outside the timed region
             jax.block_until_ready(run())

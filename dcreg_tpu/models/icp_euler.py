@@ -97,20 +97,21 @@ def icp_point_to_plane_euler(source_xyz, target_xyz, R0, t0,
                              handling: HandlingMethod,
                              params: ICPParams = ICPParams(),
                              T_gt=None, target_valid=None, source_valid=None,
-                             num_source: int | None = None) -> ICPResult:
+                             num_source: int | None = None,
+                             grid=None) -> ICPResult:
     """Euler/LOAM engine; same interface as icp_point_to_plane_so3."""
     from ..ops.degeneracy import detection_code, handling_code
     det = jnp.asarray(detection_code(detection), jnp.int32)
     hand = jnp.asarray(handling_code(handling), jnp.int32)
     return _icp_euler_impl(source_xyz, target_xyz, R0, t0, det, hand, params,
-                           T_gt, target_valid, source_valid, num_source)
+                           T_gt, target_valid, source_valid, num_source, grid)
 
 
 @precise_jit(static_argnames=("params", "num_source"))
 def _icp_euler_impl(source_xyz, target_xyz, R0, t0, detection, handling,
                     params: ICPParams,
                     T_gt=None, target_valid=None, source_valid=None,
-                    num_source: int | None = None) -> ICPResult:
+                    num_source: int | None = None, grid=None) -> ICPResult:
     """(R0, t0) is converted to an Euler pose via MatrixToPose6D semantics
     and updated additively each iteration."""
     dtype = source_xyz.dtype
@@ -126,7 +127,8 @@ def _icp_euler_impl(source_xyz, target_xyz, R0, t0, detection, handling,
         corr = find_correspondences(source_xyz, R, t, target_xyz,
                                     target_valid=target_valid,
                                     source_valid=source_valid,
-                                    params=params.corr, chunk=params.chunk)
+                                    params=params.corr, chunk=params.chunk,
+                                    grid=grid)
         s = jnp.where(corr.valid, corr.weight, 0.0).astype(dtype)
         wn = corr.normal * s[:, None]          # weighted normal s*n
         J = _euler_jacobian_rows(source_xyz, wn, pose)

@@ -26,9 +26,16 @@ from ..utils import precise_jit
                                              "normal_k"))
 def o3d_icp(source_xyz, target_xyz, R0, t0, params: ICPParams = ICPParams(),
             T_gt=None, target_valid=None, source_valid=None,
-            num_source: int | None = None, normal_k: int = 30) -> ICPResult:
+            num_source: int | None = None, normal_k: int = 30,
+            grid=None) -> ICPResult:
     """Open3D-equivalent point-to-plane ICP (normal_k=30 matches Open3D's
-    common KDTreeSearchParamHybrid default usage)."""
+    common KDTreeSearchParamHybrid default usage).
+
+    ``grid``: optional prebuilt ``voxel_grid.GridIndex`` over target_xyz
+    (voxel_size >= search_radius); replaces the brute 1-NN scan.  Requires
+    ``target_valid`` baked into the index at build time."""
+    if grid is not None and target_valid is not None:
+        raise ValueError("bake target_valid into the GridIndex instead")
     dtype = source_xyz.dtype
     I = params.max_iterations
     if T_gt is None:
@@ -39,7 +46,13 @@ def o3d_icp(source_xyz, target_xyz, R0, t0, params: ICPParams = ICPParams(),
     def body(state):
         k, R, t, prev_fit, prev_rmse, converged, aborted, H_last, buf = state
         p_w = source_xyz @ R.T + t
-        sq_d, idx = nn1(p_w, target_xyz, target_valid, chunk=params.chunk)
+        if grid is not None:
+            from ..ops.voxel_grid import grid_knn
+            sq_d, idx = grid_knn(grid, p_w, k=1)
+            sq_d, idx = sq_d[:, 0], idx[:, 0]
+        else:
+            sq_d, idx = nn1(p_w, target_xyz, target_valid,
+                            chunk=params.chunk)
         mask = sq_d < params.corr.search_radius ** 2
         if source_valid is not None:
             mask = mask & source_valid

@@ -51,12 +51,25 @@ class SuperLocInfo(NamedTuple):
 
 
 def _correspondences(source_xyz, R, t, target_xyz, target_valid, radius,
-                     chunk):
-    """findCorrespondencesWithNormals (superloc.cpp:546-634), fixed shape."""
+                     chunk, grid=None):
+    """findCorrespondencesWithNormals (superloc.cpp:546-634), fixed shape.
+
+    With ``grid`` (voxel_grid.GridIndex, voxel_size >= radius) the 5-NN
+    come from the 27-cell neighborhood; sets whose far neighbors fall
+    outside it are marked invalid (the reference's KD-tree would still
+    refit such planes -- a deviation only on sparse fringes, where the
+    fit-quality weight floors them anyway)."""
     p_w = source_xyz @ R.T + t
-    sq_d, idx = knn(p_w, target_xyz, target_valid, k=5, chunk=chunk,
-                    refine=10)
+    if grid is not None:
+        from ..ops.voxel_grid import grid_knn
+        sq_d, idx = grid_knn(grid, p_w, k=5)
+        idx = jnp.clip(idx, 0, target_xyz.shape[0] - 1)
+    else:
+        sq_d, idx = knn(p_w, target_xyz, target_valid, k=5, chunk=chunk,
+                        refine=10)
     gate = sq_d[:, 0] <= radius * radius     # FIRST-neighbor gate (:580)
+    if grid is not None:
+        gate = gate & jnp.isfinite(sq_d[:, 4])
     neigh = target_xyz[idx]
     normal, d_off, fit_ok = fit_planes(neigh)
     # orient toward the query point (viewpoint direction = p_w, :603-608)
@@ -111,8 +124,12 @@ def superloc_register(source_xyz, target_xyz, R0, t0,
                       params: ICPParams = ICPParams(),
                       T_gt=None, target_valid=None, source_valid=None,
                       num_source: int | None = None,
-                      inner_iters: int = 4) -> ICPResult:
-    """SuperLoc registration; same result interface as the other engines."""
+                      inner_iters: int = 4, grid=None) -> ICPResult:
+    """SuperLoc registration; same result interface as the other engines.
+
+    ``grid``: optional GridIndex over target_xyz (see _correspondences)."""
+    if grid is not None and target_valid is not None:
+        raise ValueError("bake target_valid into the GridIndex instead")
     dtype = source_xyz.dtype
     I = params.max_iterations
     if T_gt is None:
@@ -121,7 +138,7 @@ def superloc_register(source_xyz, target_xyz, R0, t0,
 
     valid, normal, d_off, fit_q, _ = _correspondences(
         source_xyz, R0, t0, target_xyz, target_valid,
-        params.corr.search_radius, params.chunk)
+        params.corr.search_radius, params.chunk, grid=grid)
     if source_valid is not None:
         valid = valid & source_valid
     n_valid = jnp.sum(valid.astype(jnp.int32))

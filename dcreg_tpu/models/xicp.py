@@ -322,8 +322,14 @@ def xicp_register(source_xyz, target_xyz, R0, t0,
                   xicp_cfg: XICPParamsConfig = XICPParamsConfig(),
                   T_gt=None, target_valid=None, source_valid=None,
                   num_source: int | None = None,
-                  normal_k: int = 5) -> ICPResult:
-    """X-ICP registration (engine at icp_test_runner.cpp:2834-3355)."""
+                  normal_k: int = 5, grid=None) -> ICPResult:
+    """X-ICP registration (engine at icp_test_runner.cpp:2834-3355).
+
+    ``grid``: optional prebuilt ``voxel_grid.GridIndex`` over target_xyz
+    (voxel_size >= search_radius); replaces the brute 1-NN scan.  Requires
+    ``target_valid`` baked into the index at build time."""
+    if grid is not None and target_valid is not None:
+        raise ValueError("bake target_valid into the GridIndex instead")
     dtype = source_xyz.dtype
     I = params.max_iterations
     if T_gt is None:
@@ -337,7 +343,13 @@ def xicp_register(source_xyz, target_xyz, R0, t0,
     def body(state):
         k, R, t, converged, aborted, H_last, buf, cum_cnt, cum_err = state
         src_w = source_xyz @ R.T + t
-        sq_d, idx = nn1(src_w, target_xyz, target_valid, chunk=params.chunk)
+        if grid is not None:
+            from ..ops.voxel_grid import grid_knn
+            sq_d, idx = grid_knn(grid, src_w, k=1)
+            sq_d, idx = sq_d[:, 0], idx[:, 0]
+        else:
+            sq_d, idx = nn1(src_w, target_xyz, target_valid,
+                            chunk=params.chunk)
         mask = sq_d < params.corr.search_radius ** 2
         if source_valid is not None:
             mask = mask & source_valid

@@ -196,7 +196,12 @@ def write_transform_details_csv(path, records: List[MethodRunRecord]):
             + ",".join(f"Schur_Trans_Lambda_{i}" for i in range(3)) + ","
             "Cond_Full_SVD,Cond_Sub_Rot,Cond_Sub_Trans,Cond_Schur_Rot,"
             "Cond_Schur_Trans,"
-            + ",".join(f"Degenerate_Mask_{i}" for i in range(6)) + ","
+            # NOTE: no comma between Degenerate_Mask_5 and
+            # SuperLoc_Has_Data -- the reference's writer fuses these two
+            # columns (icp_test_runner.cpp:799-892 header bug, visible in
+            # the archived transform_details.csv as "...Mask_5SuperLoc_..."
+            # and "00" data cells); reproduced for byte-identical headers.
+            + ",".join(f"Degenerate_Mask_{i}" for i in range(6)) +
             "SuperLoc_Has_Data,SuperLoc_Uncertainty_X,SuperLoc_Uncertainty_Y,"
             "SuperLoc_Uncertainty_Z,SuperLoc_Uncertainty_Roll,"
             "SuperLoc_Uncertainty_Pitch,SuperLoc_Uncertainty_Yaw,"
@@ -221,12 +226,14 @@ def write_transform_details_csv(path, records: List[MethodRunRecord]):
                     f"{log.cond_diag_trans[k]:g}",
                     f"{log.cond_schur_rot[k]:g}",
                     f"{log.cond_schur_trans[k]:g}"]
-            row += [str(int(m)) for m in log.degenerate_mask[k]]
+            row += [str(int(m)) for m in log.degenerate_mask[k][:5]]
             sl = getattr(r, "superloc", None)
+            # fused "Mask_5 + Has_Data" cell (see header note above)
+            m5 = str(int(log.degenerate_mask[k][5]))
             if sl is None:
-                row += ["0"] + ["NaN"] * 9 + ["0"]
+                row += [m5 + "0"] + ["NaN"] * 9 + ["0"]
             else:
-                row += ["1"] + [f"{v:g}" for v in sl["uncertainties"]]
+                row += [m5 + "1"] + [f"{v:g}" for v in sl["uncertainties"]]
                 row += [f"{sl['cond_full']:g}", f"{sl['cond_rot']:g}",
                         f"{sl['cond_trans']:g}", str(int(sl["is_degenerate"]))]
             f.write(",".join(str(v) for v in row) + "\n")

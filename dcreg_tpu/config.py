@@ -71,6 +71,7 @@ class Config(NamedTuple):
     use_so3_parameterization: bool = True
     use_weight_derivative: bool = True
     use_grid_index: bool = True   # CSR voxel-grid NN instead of brute scan
+    stepped_timing: bool = False  # per-iteration wall-time replay (slower)
     # poses
     initial_noise: Pose6DConfig = Pose6DConfig()
     gt_pose: Pose6DConfig = Pose6DConfig()
@@ -187,6 +188,7 @@ def load_config(path: str) -> Config:
         use_so3_parameterization=bool(icp.get("use_so3_parameterization", True)),
         use_weight_derivative=bool(icp.get("use_weight_derivative", True)),
         use_grid_index=bool(icp.get("use_grid_index", True)),
+        stepped_timing=bool(test.get("stepped_timing", False)),
         initial_noise=_pose_from_yaml(raw.get("initial_noise")),
         gt_pose=_pose_from_yaml(raw.get("gt_pose")),
         condition_threshold=float(degeneracy.get("condition_threshold", 10.0)),

@@ -28,6 +28,11 @@ from .ops import se3
 from .ops.degeneracy import DetectionMethod, HandlingMethod
 from .ops.knn import nn1
 from .ops.metrics import point_to_point_error
+from . import telemetry
+from .ops.correspondence import find_correspondences
+from .ops.degeneracy import analyze
+from .ops.gauss_newton import build_system
+from .ops.solvers import solve as solve_system
 
 
 class TestRunner:
@@ -135,9 +140,53 @@ class TestRunner:
             rec.p2p_corr = int(n_corr)
             self.records.append(rec)
 
+            if run_idx == 0:
+                self._fill_iteration_times(rec, method_name, detection,
+                                           handling)
             if run_idx == 0 and (cfg.save_pcd or cfg.save_error_pcd):
                 self._save_clouds(method_name, np.asarray(aligned))
         return True
+
+    # -- per-iteration timing (utils.hpp:181 iter_time_ms) ----------------
+    def _fill_iteration_times(self, rec, method_name, detection, handling):
+        """Populate rec.iter_time_ms.  With cfg.stepped_timing, the SO(3)-
+        family iterations are re-executed one-by-one and wall-timed (the
+        replay measures the same work the loop iteration did, dispatch
+        included -- matching the reference's inline timer semantics).
+        Other engines (and the default mode) carry the uniform estimate
+        total_time / iterations."""
+        cfg = self.config
+        n = max(rec.n_iters, 1)
+        rec.iter_time_ms = [rec.time_ms / n] * rec.n_iters
+        so3_family = (not method_name.startswith("XICP")
+                      and method_name not in ("SuperLoc", "O3D")
+                      and cfg.use_so3_parameterization)
+        if not (cfg.stepped_timing and so3_family):
+            return
+        params = cfg.icp_params()
+        grid = self.grid
+        source, target = self.source, self.target
+
+        @jax.jit
+        def step(R, t):
+            corr = find_correspondences(source, R, t, target,
+                                        params=params.corr,
+                                        chunk=params.chunk, grid=grid)
+            sysm = build_system(
+                source, R, t, corr,
+                use_weight_derivative=params.use_weight_derivative,
+                weight_slope=params.corr.weight_slope)
+            analysis = analyze(sysm.H, detection, params.thresholds)
+            dx, _ = solve_system(sysm.H, sysm.g, handling, analysis,
+                                 params.thresholds, telemetry=False)
+            return dx
+
+        T0 = np.asarray(cfg.initial_matrix())
+        Ts = [T0] + [np.asarray(rec.result.log.transform[k])
+                     for k in range(rec.n_iters - 1)]
+        poses = [(jnp.asarray(T[:3, :3], self.dtype),
+                  jnp.asarray(T[:3, 3], self.dtype)) for T in Ts]
+        rec.iter_time_ms = telemetry.stepped_iteration_times(step, poses)
 
     def run_all(self):
         if self.source is None:
@@ -214,6 +263,19 @@ class TestRunner:
                     os.path.join(out, "condition_numbers_detailed.csv"),
                     self.records)
         if cfg.save_summary:
+            # fig18-style PCG solver telemetry for the first PCG method
+            pcg_methods = [m for m, _, h in cfg.methods()
+                           if h == HandlingMethod.PRECONDITIONED_CG]
+            if pcg_methods:
+                rec0 = next((r for r in self.records
+                             if r.method == pcg_methods[0] and r.run == 0),
+                            None)
+                if rec0 is not None:
+                    rows = telemetry.pcg_replay_rows(
+                        rec0.result.log,
+                        kappa_target=cfg.icp_params().thresholds.kappa_target)
+                    telemetry.write_pcg_txt(os.path.join(out, "pcg.txt"),
+                                            rows)
             writers.write_degeneracy_analysis_txt(
                 os.path.join(out, "degeneracy_analysis_first_iter.txt"),
                 self.records, first=True)

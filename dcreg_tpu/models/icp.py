@@ -89,6 +89,7 @@ class IterationLog(NamedTuple):
     cond_PH: jax.Array             # (I,)
     P_preconditioner: jax.Array    # (I, 6, 6)
     W_adaptive: jax.Array          # (I, 6, 6)
+    H: jax.Array                   # (I, 6, 6) the GN Hessian (replay/pcg.txt)
 
 
 class ICPResult(NamedTuple):
@@ -137,6 +138,7 @@ def _empty_log(I, dtype):
         pcg_residual=f(I, jnp.nan), cond_PH=f(I, jnp.nan),
         P_preconditioner=f((I, 6, 6), jnp.nan),
         W_adaptive=f((I, 6, 6), jnp.nan),
+        H=f((I, 6, 6), jnp.nan),
     )
 
 
@@ -223,6 +225,7 @@ def telemetry_row(h: Hist, executed_k, detection, handling,
         cond_PH=nanify(sinfo.cond_PH),
         P_preconditioner=nanify(sinfo.P_preconditioner),
         W_adaptive=nanify(sinfo.W_adaptive),
+        H=nanify(h.H),
     )
 
 

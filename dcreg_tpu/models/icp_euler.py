@@ -250,6 +250,7 @@ def _icp_euler_impl(source_xyz, target_xyz, R0, t0, detection, handling,
                 cond_PH=nanify(sinfo.cond_PH),
                 P_preconditioner=nanify(sinfo.P_preconditioner),
                 W_adaptive=nanify(sinfo.W_adaptive),
+                H=nanify(h.H),
             )
 
         executed = jnp.arange(I) < k

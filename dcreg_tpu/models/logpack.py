@@ -51,6 +51,7 @@ LOG_SPEC: List[Tuple[str, Tuple[int, ...], str]] = [
     ("cond_PH", (), "f"),
     ("P_preconditioner", (6, 6), "f"),
     ("W_adaptive", (6, 6), "f"),
+    ("H", (6, 6), "f"),
 ]
 
 _OFFSETS: Dict[str, Tuple[int, int, Tuple[int, ...], str]] = {}

@@ -90,6 +90,7 @@ def o3d_icp(source_xyz, target_xyz, R0, t0, params: ICPParams = ICPParams(),
             rmse=rmse, fitness=fitness,
             dx=dx, transform=T_new,
             trans_error=te, rot_error_deg=re,
+            H=H,
         )
         buf = jax.lax.dynamic_update_slice(buf, row[None, :], (k, jnp.asarray(0, k.dtype)))
 

@@ -228,6 +228,7 @@ def superloc_register(source_xyz, target_xyz, R0, t0,
         cond_full=log.cond_full.at[0].set(linalg.condition_number(wf)),
         is_degenerate=log.is_degenerate.at[0].set(is_degen),
         degenerate_mask=log.degenerate_mask.at[0].set(mask6),
+        H=log.H.at[0].set(H_final),
     )
 
     result = ICPResult(R=R_fin, t=t_fin, converged=converged,

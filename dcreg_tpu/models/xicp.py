@@ -421,6 +421,7 @@ def xicp_register(source_xyz, target_xyz, R0, t0,
             cond_full=linalg.condition_number(wf),
             is_degenerate=jnp.any(mask6),
             degenerate_mask=mask6,
+            H=H,
         )
         buf = jax.lax.dynamic_update_slice(buf, row[None, :], (k, jnp.asarray(0, k.dtype)))
 

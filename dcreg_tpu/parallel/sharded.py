@@ -188,8 +188,11 @@ def sharded_icp_register(mesh: Mesh, source_xyz, target_xyz, R0, t0,
             sysm = GNSystem(H=H, g=g, num_valid=n_valid, rmse=rmse,
                             fitness=fitness, objective=obj)
             analysis = analyze(H, det, params.thresholds)
+            # telemetry=False: the hot loop consumes only dx; the cond(PH)
+            # eigendecomposition and P/W extras belong to the (optional)
+            # post-hoc telemetry pass, not every device every iteration
             dx, _ = solve(H, g, hand, analysis, params.thresholds,
-                          telemetry=params.full_telemetry)
+                          telemetry=False)
             return sysm, dx
 
         def loop_body(state):

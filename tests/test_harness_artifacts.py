@@ -72,6 +72,28 @@ class TestArtifacts:
         for r in rows:
             assert np.isfinite(float(r["Trans_Error_m"]))
 
+    def test_pcg_txt_written(self, harness_run):
+        """fig18-schema pcg.txt: 17 columns, PCG conditioning improves."""
+        _, out = harness_run
+        with open(os.path.join(out, "pcg.txt")) as f:
+            rows = [line.split() for line in f if line.strip()]
+        assert rows, "no pcg rows"
+        assert all(len(r) == 17 for r in rows)
+        degen = [r for r in rows if r[16] == "1"]
+        assert degen, "no degenerate iterations recorded"
+        for r in degen:
+            cond_H, cond_PH = float(r[1]), float(r[2])
+            assert cond_PH < cond_H   # preconditioning helps
+            assert 1 <= int(r[4]) <= 10   # converged_iterations
+            assert float(r[5]) > 0        # time_pcg_ms
+
+    def test_iter_time_ms_populated(self, harness_run):
+        _, out = harness_run
+        with open(os.path.join(out, "iteration_details_with_dx.csv")) as f:
+            rows = list(csv.DictReader(f))
+        times = [float(r["Time_ms"]) for r in rows]
+        assert all(np.isfinite(t) and t > 0 for t in times)
+
     def test_iteration_history_vs_archive(self, harness_run):
         """Per-iteration trajectories for the shared methods must track the
         archived reference run (same clouds, same initial pose)."""

@@ -26,7 +26,7 @@ import numpy as np
 
 BASELINE_MS = 7.79          # supp.pdf Table I, "Ours" cylinder time
 BASELINE_REG_S = 1000.0 / BASELINE_MS
-BATCH = 32
+BATCH = int(__import__("os").environ.get("DCREG_BENCH_BATCH", "32"))
 
 CYL = "/root/reference/results/simulation/table3_fig9_fig10/target_clouds.pcd"
 
@@ -57,11 +57,15 @@ def main():
     params = ICPParams()
 
     # Monte-Carlo initial poses around the configured noise
-    # (config/icp.yaml:36-48: rpy (0.1, 0.1, 2.0) deg, t (0.2, 0.8, 0.5))
+    # (config/icp.yaml:36-48: rpy (0.1, 0.1, 2.0) deg, t (0.2, 0.8, 0.5)).
+    # The reference's num_runs statistics mode re-runs the SAME configured
+    # pose every run (icp_test_runner.cpp:339-357); the +-2% jitter here
+    # keeps lanes numerically distinct without changing the problem the
+    # recorded 7.79 ms / 2.71 cm row solved.
     rng = np.random.default_rng(0)
     nominal = np.array([np.deg2rad(0.1), np.deg2rad(0.1), np.deg2rad(2.0),
                         0.2, 0.8, 0.5])
-    poses = nominal[None, :] * rng.uniform(0.8, 1.2, (BATCH, 6))
+    poses = nominal[None, :] * rng.uniform(0.98, 1.02, (BATCH, 6))
     R0s = jnp.stack([se3.euler_zyx_to_rot(*map(jnp.asarray, p[:3]))
                      for p in poses]).astype(dtype)
     t0s = jnp.asarray(poses[:, 3:], dtype)

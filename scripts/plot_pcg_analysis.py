@@ -7,7 +7,12 @@ plots cond(H) vs cond(PH), PCG iterations, and per-iteration pose error --
 the telemetry the reference records in pcg.txt (cond_H, cond_PH,
 converged_iterations columns; schema in that figure's README.MD).
 
-Usage: python plot_pcg_analysis.py [OUT.png]
+Usage: python plot_pcg_analysis.py [OUT.png] [PCG_TXT]
+
+With a PCG_TXT argument (the harness's fig18-schema ``pcg.txt``,
+telemetry.PCG_COLUMNS order) a fourth panel plots the replayed
+per-solve PCG vs direct-QR times instead of re-running the engine for
+them.
 """
 import os
 import sys
@@ -18,7 +23,20 @@ import matplotlib.pyplot as plt
 import numpy as np
 
 
-def main(out_path="pcg_analysis.png"):
+def plot_pcg_txt(ax, path):
+    data = np.loadtxt(path)
+    if data.ndim == 1:
+        data = data[None, :]
+    it = np.arange(data.shape[0])
+    ax.semilogy(it, np.maximum(data[:, 5], 1e-6), "-o", ms=3,
+                label="time_pcg_ms")
+    ax.semilogy(it, np.maximum(data[:, 6], 1e-6), "-s", ms=3,
+                label="time_qr_direct_ms")
+    ax.set_title("6x6 solve time (host replay)")
+    ax.legend(fontsize=7)
+
+
+def main(out_path="pcg_analysis.png", pcg_txt=None):
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
@@ -43,7 +61,10 @@ def main(out_path="pcg_analysis.png"):
             DetectionMethod.SCHUR_CONDITION_NUMBER, hand, ICPParams())
         runs[name] = res
 
-    fig, axes = plt.subplots(1, 3, figsize=(13, 3.8))
+    n_panels = 4 if pcg_txt else 3
+    fig, axes = plt.subplots(1, n_panels, figsize=(4.3 * n_panels, 3.8))
+    if pcg_txt:
+        plot_pcg_txt(axes[3], pcg_txt)
     for name, res in runs.items():
         n = int(res.iterations)
         it = np.arange(n)

@@ -6,7 +6,7 @@ import numpy as np
 from dcreg_tpu.models.odometry import OdometryParams, run_odometry
 from dcreg_tpu.models.pose_graph import (PoseGraphEdges, make_edges,
                                          optimize_pose_graph)
-from dcreg_tpu.io.tum import ate, registration_recall, save_tum, load_tum
+from dcreg_tpu.io.tum import ate, registration_recall, rpe, save_tum, load_tum
 from dcreg_tpu.ops import se3
 
 
@@ -117,3 +117,44 @@ def test_tum_roundtrip(tmp_path):
     ts2, poses2 = load_tum(p)
     np.testing.assert_allclose(ts2, ts)
     np.testing.assert_allclose(poses2, gt, atol=1e-6)
+
+
+def test_rpe_known_offsets():
+    """RPE on a synthetic drifting trajectory: constant per-frame drift of
+    2 cm / 0.5 deg must be recovered exactly at delta=1."""
+    import jax.numpy as jnp
+    from dcreg_tpu.ops import se3
+    F = 12
+    gt, est = [], []
+    T_gt = np.eye(4)
+    T_est = np.eye(4)
+    step_gt = np.asarray(se3.pose6d_to_matrix(
+        jnp.asarray([0.0, 0.0, 0.0, 0.5, 0.0, 0.0])))
+    drift = np.asarray(se3.pose6d_to_matrix(
+        jnp.asarray([0.0, 0.0, np.deg2rad(0.5), 0.52, 0.0, 0.0])))
+    for _ in range(F):
+        gt.append(T_gt.copy()); est.append(T_est.copy())
+        T_gt = T_gt @ step_gt
+        T_est = T_est @ drift
+    rre, rte = rpe(np.asarray(est), np.asarray(gt), delta=1)
+    np.testing.assert_allclose(rre, 0.5, atol=1e-6)
+    np.testing.assert_allclose(rte, 0.02, atol=1e-6)
+
+
+def test_evaluate_trajectory_script(tmp_path):
+    import subprocess, sys, json
+    ts = np.arange(10) * 0.1
+    poses = np.stack([np.eye(4)] * 10)
+    est = poses.copy()
+    est[:, 0, 3] += 0.01
+    gt_p = str(tmp_path / "gt.tum"); est_p = str(tmp_path / "est.tum")
+    save_tum(gt_p, ts, poses)
+    save_tum(est_p, ts, est)
+    proc = subprocess.run(
+        [sys.executable, "scripts/evaluate_trajectory.py", gt_p, est_p],
+        capture_output=True, text=True, cwd=".")
+    assert proc.returncode == 0, proc.stderr
+    out = json.loads(proc.stdout)
+    assert out["frames"] == 10
+    assert out["registration_recall"] == 1.0
+    assert abs(out["ate_raw_rmse_m"] - 0.01) < 1e-6

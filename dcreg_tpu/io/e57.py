@@ -48,38 +48,51 @@ def _crc32c_table():
 _CRC_TABLE = _crc32c_table()
 
 
-def crc32c(data: bytes) -> int:
-    crc = np.uint32(0xFFFFFFFF)
+def crc32c_pages(pages: np.ndarray) -> np.ndarray:
+    """CRC-32C of every row of a (n_pages, PAYLOAD) uint8 array at once.
+
+    The CRC recurrence is sequential in the byte position but independent
+    across pages, so iterating 1020 byte positions over a vector of page
+    states is ~n_pages times faster than per-byte Python -- the difference
+    between hours and seconds on multi-hundred-MB files."""
+    pages = np.ascontiguousarray(pages, np.uint8)
+    crc = np.full(pages.shape[0], 0xFFFFFFFF, np.uint32)
     tab = _CRC_TABLE
-    for b in np.frombuffer(data, np.uint8):
-        crc = tab[(crc ^ b) & np.uint32(0xFF)] ^ (crc >> np.uint8(8))
-    return int(crc ^ np.uint32(0xFFFFFFFF))
+    for col in range(pages.shape[1]):
+        crc = tab[(crc ^ pages[:, col]) & np.uint32(0xFF)] \
+            ^ (crc >> np.uint8(8))
+    return crc ^ np.uint32(0xFFFFFFFF)
+
+
+def crc32c(data: bytes) -> int:
+    return int(crc32c_pages(np.frombuffer(data, np.uint8)[None, :])[0])
 
 
 # ------------------------------------------------------- physical <-> logical
 def _to_physical(payload: bytes) -> bytes:
     """Split a logical byte stream into CRC'd 1024-byte pages."""
-    out = bytearray()
-    for off in range(0, len(payload), PAYLOAD):
-        chunk = payload[off:off + PAYLOAD]
-        chunk = chunk + b"\0" * (PAYLOAD - len(chunk))
-        out += chunk + struct.pack("<I", crc32c(chunk))
-    return bytes(out)
+    n_pages = -(-len(payload) // PAYLOAD) if payload else 0
+    buf = np.zeros(n_pages * PAYLOAD, np.uint8)
+    buf[:len(payload)] = np.frombuffer(payload, np.uint8)
+    pages = buf.reshape(n_pages, PAYLOAD)
+    crcs = crc32c_pages(pages)
+    out = np.zeros((n_pages, PAGE), np.uint8)
+    out[:, :PAYLOAD] = pages
+    out[:, PAYLOAD:] = crcs.astype("<u4").view(np.uint8).reshape(n_pages, 4)
+    return out.tobytes()
 
 
 def _to_logical(raw: bytes) -> bytes:
     """Strip (and verify) page checksums."""
-    out = bytearray()
-    for off in range(0, len(raw) - PAGE + 1, PAGE):
-        chunk = raw[off:off + PAYLOAD]
-        (crc,) = struct.unpack_from("<I", raw, off + PAYLOAD)
-        if crc != crc32c(chunk):
-            raise ValueError(f"E57 page checksum mismatch at {off}")
-        out += chunk
-    tail = len(raw) % PAGE
-    if tail:
+    if len(raw) % PAGE:
         raise ValueError("E57 file not page-aligned")
-    return bytes(out)
+    arr = np.frombuffer(raw, np.uint8).reshape(-1, PAGE)
+    stored = arr[:, PAYLOAD:].copy().view("<u4").ravel()
+    computed = crc32c_pages(arr[:, :PAYLOAD])
+    bad = np.nonzero(stored != computed)[0]
+    if bad.size:
+        raise ValueError(f"E57 page checksum mismatch at {int(bad[0]) * PAGE}")
+    return arr[:, :PAYLOAD].tobytes()
 
 
 def _phys_offset(logical: int) -> int:

@@ -11,18 +11,51 @@ from __future__ import annotations
 import numpy as np
 
 
+def _rot_to_quat_np(R):
+    """(3, 3) rotation -> (w, x, y, z) quaternion, pure numpy (host tooling
+    must not import jax -- keeps TUM IO usable without a device backend;
+    matches ops/se3.rot_to_quat, Shepperd's method)."""
+    R = np.asarray(R, np.float64)
+    tr = R[0, 0] + R[1, 1] + R[2, 2]
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2.0
+        q = np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                      (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    elif R[0, 0] >= R[1, 1] and R[0, 0] >= R[2, 2]:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2.0
+        q = np.array([(R[2, 1] - R[1, 2]) / s, 0.25 * s,
+                      (R[0, 1] + R[1, 0]) / s, (R[0, 2] + R[2, 0]) / s])
+    elif R[1, 1] >= R[2, 2]:
+        s = np.sqrt(1.0 - R[0, 0] + R[1, 1] - R[2, 2]) * 2.0
+        q = np.array([(R[0, 2] - R[2, 0]) / s, (R[0, 1] + R[1, 0]) / s,
+                      0.25 * s, (R[1, 2] + R[2, 1]) / s])
+    else:
+        s = np.sqrt(1.0 - R[0, 0] - R[1, 1] + R[2, 2]) * 2.0
+        q = np.array([(R[1, 0] - R[0, 1]) / s, (R[0, 2] + R[2, 0]) / s,
+                      (R[1, 2] + R[2, 1]) / s, 0.25 * s])
+    return q / np.linalg.norm(q)
+
+
+def _quat_to_rot_np(q):
+    """(w, x, y, z) quaternion -> (3, 3) rotation, pure numpy."""
+    w, x, y, z = np.asarray(q, np.float64) / np.linalg.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
 def save_tum(path, timestamps, poses):
     """Write TUM format: `t x y z qx qy qz qw` per line.
 
     poses: (F, 4, 4) numpy/jax arrays."""
     poses = np.asarray(poses)
     timestamps = np.asarray(timestamps, dtype=np.float64)
-    from ..ops import se3
-    import jax.numpy as jnp
     with open(path, "w") as f:
         for ts, T in zip(timestamps, poses):
-            q = np.asarray(se3.rot_to_quat(jnp.asarray(T[:3, :3])))
-            # rot_to_quat returns (w, x, y, z); TUM wants qx qy qz qw
+            q = _rot_to_quat_np(T[:3, :3])
+            # (w, x, y, z) internally; TUM wants qx qy qz qw
             t = T[:3, 3]
             f.write(f"{ts:.9f} {t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
                     f"{q[1]:.9f} {q[2]:.9f} {q[3]:.9f} {q[0]:.9f}\n")
@@ -30,8 +63,6 @@ def save_tum(path, timestamps, poses):
 
 def load_tum(path):
     """Read TUM format -> (timestamps (F,), poses (F, 4, 4))."""
-    from ..ops import se3
-    import jax.numpy as jnp
     ts, poses = [], []
     with open(path) as f:
         for line in f:
@@ -40,9 +71,8 @@ def load_tum(path):
                 continue
             vals = [float(v) for v in line.split()]
             t, x, y, z, qx, qy, qz, qw = vals[:8]
-            R = np.asarray(se3.quat_to_rot(jnp.asarray([qw, qx, qy, qz])))
             T = np.eye(4)
-            T[:3, :3] = R
+            T[:3, :3] = _quat_to_rot_np([qw, qx, qy, qz])
             T[:3, 3] = [x, y, z]
             ts.append(t)
             poses.append(T)

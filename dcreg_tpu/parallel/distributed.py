@@ -34,9 +34,12 @@ def init_distributed(coordinator_address: str | None = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (ValueError, RuntimeError):
-        # single-process environment (or already initialized)
+    except (ValueError, RuntimeError) as e:
+        if "already initialized" in str(e).lower():
+            # benign: a second init call in a live multi-host job
+            return jax.process_count() > 1
         if jax.process_count() <= 1:
+            # single-process environment: distributed mode unavailable
             return False
         raise
     return jax.process_count() > 1

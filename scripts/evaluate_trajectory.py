@@ -15,14 +15,21 @@ import numpy as np
 
 
 def associate(ts_gt, ts_est, max_dt=0.02):
-    """Nearest-timestamp association (the evo/TUM convention)."""
-    idx_gt, idx_est = [], []
-    j = 0
+    """Nearest-timestamp association (the evo/TUM convention).
+
+    One-to-one: when several est frames share the same nearest GT frame,
+    only the closest-in-time est frame keeps the match (evo's unique
+    association; many-to-one matches would skew ATE/RPE/recall for
+    mismatched-rate trajectories)."""
+    best_for_gt = {}           # gt index -> (|dt|, est index)
     for i, t in enumerate(ts_est):
         j = int(np.argmin(np.abs(ts_gt - t)))
-        if abs(ts_gt[j] - t) <= max_dt:
-            idx_gt.append(j)
-            idx_est.append(i)
+        dt = abs(float(ts_gt[j] - t))
+        if dt <= max_dt and (j not in best_for_gt or dt < best_for_gt[j][0]):
+            best_for_gt[j] = (dt, i)
+    pairs = sorted((j, ie) for j, (_, ie) in best_for_gt.items())
+    idx_gt = [j for j, _ in pairs]
+    idx_est = [ie for _, ie in pairs]
     return np.asarray(idx_gt, int), np.asarray(idx_est, int)
 
 

@@ -142,7 +142,7 @@ def test_rpe_known_offsets():
 
 
 def test_evaluate_trajectory_script(tmp_path):
-    import subprocess, sys, json
+    import os, subprocess, sys, json
     ts = np.arange(10) * 0.1
     poses = np.stack([np.eye(4)] * 10)
     est = poses.copy()
@@ -150,9 +150,12 @@ def test_evaluate_trajectory_script(tmp_path):
     gt_p = str(tmp_path / "gt.tum"); est_p = str(tmp_path / "est.tum")
     save_tum(gt_p, ts, poses)
     save_tum(est_p, ts, est)
+    # pin the child to CPU: the script is pure-numpy host tooling and must
+    # never pay (or hang on) TPU-backend startup
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
     proc = subprocess.run(
         [sys.executable, "scripts/evaluate_trajectory.py", gt_p, est_p],
-        capture_output=True, text=True, cwd=".")
+        capture_output=True, text=True, cwd=".", env=env, timeout=120)
     assert proc.returncode == 0, proc.stderr
     out = json.loads(proc.stdout)
     assert out["frames"] == 10

@@ -27,13 +27,16 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import se3
-from ..ops.block_sparse import BlockIndex
+from ..ops.block_sparse import BlockIndex, MapIndex
 from ..ops.degeneracy import DetectionMethod, HandlingMethod, analyze
 from ..ops.soa_tail import batched_tail_system
-from ..ops.pallas_block_knn import (QB, batched_block_knn, lane_relevance,
-                                    make_pair_list, pack_lane_mask)
+from ..ops.pallas_block_knn import (QB, batched_block_knn, hier_relevance,
+                                    lane_relevance, make_pair_list,
+                                    make_pair_list_slotted, pack_lane_mask,
+                                    super_candidates)
 from ..ops.solvers import solve
 from ..utils import precise
 from .icp import (ICPParams, ICPResult, Hist, empty_hist, _empty_log,
@@ -52,12 +55,14 @@ class BatchICPResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("detection", "handling",
-                                             "params", "num_pairs"))
+                                             "params", "num_pairs",
+                                             "num_supers", "max_per_query"))
 @precise
 def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
                   detection: DetectionMethod, handling: HandlingMethod,
-                  params: ICPParams, index: BlockIndex,
-                  num_pairs: int, T_gt=None) -> BatchICPResult:
+                  params: ICPParams, index,
+                  num_pairs: int, T_gt=None, num_supers: int = 0,
+                  max_per_query: int = 0) -> BatchICPResult:
     """Run B registrations of one (source, target) pair to convergence.
 
     source_xyz (N, 3) Morton-sorted body-frame points; target_xyz (M, 3)
@@ -65,7 +70,19 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
     t0s (B, 3) initial poses; num_pairs: static pair-list capacity (see
     block_sparse.suggest_num_blocks-style host estimation; overflow is
     reported, not silently truncated).
+
+    ``index`` is a BlockIndex for in-chip targets, or a two-level
+    ``MapIndex`` for MAP-SCALE targets (millions+ of points -- the
+    reference's scan-to-map regime, supp.pdf Tables II/III).  Map mode
+    additionally needs the static capacities ``num_supers`` (level-1 cull
+    width) and ``max_per_query`` (target blocks per query block fed to
+    the slotted kernel); see ``estimate_map_capacities``.
     """
+    map_mode = isinstance(index, MapIndex)
+    mindex = index if map_mode else None
+    bi = index.block if map_mode else index
+    if map_mode:
+        assert num_supers > 0 and max_per_query > 0
     dtype = source_xyz.dtype
     B = R0s.shape[0]
     N = source_xyz.shape[0]
@@ -94,18 +111,37 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
     pmax = jnp.sqrt(jnp.max(jnp.sum(source_xyz * source_xyz, axis=1)))
 
     def one_iteration(Rs, ts, r_cull, active):
-        rel_l = lane_relevance(slo, shi, Rs, ts, index.lo, index.hi,
-                               r_cull, per_lane=True)        # (B, nq, nbt)
-        rel_l = rel_l & active[:, None, None]
-        rel = jnp.any(rel_l, axis=0)
-        qid, tid, overflow = make_pair_list(rel, num_pairs)
-        lmask = pack_lane_mask(rel_l, qid, tid)
+        knn_kwargs = {}
+        if map_mode:
+            # level-1 cull: nearest relevant supers per query block, then
+            # level-0 cull over only their blocks -- no (nq, nbt) matrix
+            sup_sel, sup_ok, sup_ovf = super_candidates(
+                slo, shi, Rs, ts, mindex, r_cull, num_supers, active=active)
+            rel_l, block_ids = hier_relevance(slo, shi, Rs, ts, mindex,
+                                              sup_sel, sup_ok, r_cull)
+            rel_l = rel_l & active[:, None, None]            # (B, nq, C)
+            rel = jnp.any(rel_l, axis=0)
+            qid, tid, slot, col, table, ovf, run_ovf = make_pair_list_slotted(
+                rel, num_pairs, max_per_query, block_ids=block_ids,
+                nbt=bi.num_blocks)
+            overflow = ovf + run_ovf + sup_ovf
+            lmask = pack_lane_mask(rel_l, qid, col)
+            knn_kwargs = dict(slot=slot, tid_table=table,
+                              max_per_query=max_per_query)
+        else:
+            rel_l = lane_relevance(slo, shi, Rs, ts, bi.lo, bi.hi,
+                                   r_cull, per_lane=True)    # (B, nq, nbt)
+            rel_l = rel_l & active[:, None, None]
+            rel = jnp.any(rel_l, axis=0)
+            qid, tid, overflow = make_pair_list(rel, num_pairs)
+            lmask = pack_lane_mask(rel_l, qid, tid)
         poses12 = jnp.concatenate([Rs.reshape(B, 9), ts], axis=1)
-        vals, idx = batched_block_knn(index, src_blocks,
+        vals, idx = batched_block_knn(bi, src_blocks,
                                       poses12.astype(jnp.float32),
                                       qid, tid, num_pairs, radius=radius,
                                       covered=jnp.any(rel, axis=1),
-                                      lane_mask=lmask, layout="kn")
+                                      lane_mask=lmask, layout="kn",
+                                      **knn_kwargs)
         # exact 5th-NN distance per (lane, query block); BIG where a block
         # was uncovered -> falls back to the full radius below
         d5row = vals[:, k - 1, :]                            # (B, nq*QB)
@@ -200,11 +236,73 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
                           pair_overflow=ovf)
 
 
+def estimate_map_capacities(mindex: MapIndex, source_xyz, poses_Rt,
+                            radius: float, margin: float = 1.3,
+                            sup_margin: int = 2):
+    """Host-side static capacities for MAP-SCALE batch registration.
+
+    Returns (num_supers, max_per_query, num_pairs): the level-1 cull
+    width, the per-query-block slot capacity, and the pair-list capacity,
+    each the max over the given (R, t) pose samples plus identity, with
+    margin.  Chunked over query blocks so nothing materializes an
+    (nq, num_target_blocks) matrix for multi-hundred-M-point maps."""
+    src = np.asarray(source_xyz, np.float64)
+    N = src.shape[0]
+    nq = -(-N // QB)
+    pad = np.concatenate([src, np.repeat(src[-1:], nq * QB - N, axis=0)])
+    qb = pad.reshape(nq, QB, 3)
+    bi = mindex.block
+    tlo = np.asarray(bi.lo, np.float64)
+    thi = np.asarray(bi.hi, np.float64)
+    slo_s = np.asarray(mindex.sup_lo, np.float64)
+    shi_s = np.asarray(mindex.sup_hi, np.float64)
+    r2 = radius * radius
+    samples = [(np.eye(3), np.zeros(3))] + [
+        (np.asarray(R), np.asarray(t)) for R, t in poses_Rt]
+
+    sup_count = np.zeros(nq, np.int64)
+    blk_count = np.zeros(nq, np.int64)
+    rel_sup = np.zeros((nq, mindex.num_supers), bool)
+    rel_blk_cnt = None
+    # union relevance over pose samples, super level first
+    qlos, qhis = [], []
+    for R, t in samples:
+        qw = qb @ R.T + t
+        qlos.append(qw.min(axis=1))
+        qhis.append(qw.max(axis=1))
+    for qlo, qhi in zip(qlos, qhis):
+        gap = np.maximum(0.0, np.maximum(qlo[:, None] - shi_s[None],
+                                         slo_s[None] - qhi[:, None]))
+        rel_sup |= (gap * gap).sum(-1) <= r2
+    # block level, restricted to each query block's relevant supers
+    total_pairs = 0
+    for q in range(nq):
+        sups = np.nonzero(rel_sup[q])[0]
+        if sups.size == 0:
+            continue
+        bids = (sups[:, None] * mindex.sb
+                + np.arange(mindex.sb)[None, :]).ravel()
+        bids = bids[bids < bi.num_blocks]
+        rel_b = np.zeros(bids.size, bool)
+        for qlo, qhi in zip(qlos, qhis):
+            gap = np.maximum(0.0, np.maximum(qlo[q][None] - thi[bids],
+                                             tlo[bids] - qhi[q][None]))
+            rel_b |= (gap * gap).sum(-1) <= r2
+        blk_count[q] = int(rel_b.sum())
+        total_pairs += int(rel_b.sum())
+    sup_count = rel_sup.sum(axis=1)
+
+    num_supers = int(sup_count.max()) + sup_margin
+    max_per_query = min(int(-(-int(blk_count.max()) * margin // 4) * 4) + 4,
+                        256)
+    num_pairs = max(64, int(-(-total_pairs * margin // 64) * 64))
+    return num_supers, max_per_query, num_pairs
+
+
 def estimate_num_pairs(index: BlockIndex, source_xyz, poses_Rt,
                        radius: float, margin: float = 1.3) -> int:
     """Host-side pair-list capacity estimate: union relevance over the given
     (R, t) pose samples plus identity, x margin (rounded up to 64)."""
-    import numpy as np
     src = np.asarray(source_xyz, np.float64)
     N = src.shape[0]
     nq = -(-N // QB)

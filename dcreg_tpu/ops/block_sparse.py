@@ -71,6 +71,9 @@ def morton_argsort(points) -> np.ndarray:
     return np.argsort(code, kind="stable")
 
 
+BIG = 3.0e38   # sentinel coordinate: any distance to it exceeds every gate
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("blocks", "valid", "lo", "hi"),
@@ -81,8 +84,13 @@ class BlockIndex:
 
     Indices returned by ``block_knn`` refer to the SORTED target order --
     callers are expected to pre-permute the target cloud they hand to the
-    rest of the pipeline (see ``morton_argsort``)."""
-    blocks: jax.Array     # (nbt, TB, 3) sorted target, padded
+    rest of the pipeline (see ``morton_argsort``).
+
+    ``blocks`` carries ONE extra all-sentinel block at index num_blocks
+    (the flush target of padding pairs in the batched kernel) and sentinel
+    coordinates in padding slots, so consumers never re-mask or re-copy
+    the (potentially multi-GB, map-scale) point array per iteration."""
+    blocks: jax.Array     # (nbt + 1, TB, 3) sorted target, BIG at padding
     valid: jax.Array      # (nbt, TB) bool, False at padding
     lo: jax.Array         # (nbt, 3) bbox over real points
     hi: jax.Array         # (nbt, 3)
@@ -98,16 +106,60 @@ def build_block_index(sorted_points, dtype=jnp.float32,
     M = pts.shape[0]
     nbt = -(-M // tb)
     pad = nbt * tb - M
-    # pad with the last point (keeps bboxes honest; padding is masked out)
-    padded = np.concatenate([pts, np.repeat(pts[-1:], pad, axis=0)])
+    big = np.float64(np.finfo(np.float32).max) if dtype == jnp.float32 \
+        else BIG
+    padded = np.concatenate([pts, np.full((pad, 3), big)])
     blocks = padded.reshape(nbt, tb, 3)
     valid = np.arange(nbt * tb).reshape(nbt, tb) < M
     lo = np.where(valid[..., None], blocks, np.inf).min(axis=1)
     hi = np.where(valid[..., None], blocks, -np.inf).max(axis=1)
+    blocks = np.concatenate([blocks, np.full((1, tb, 3), big)])
     return BlockIndex(blocks=jnp.asarray(blocks, dtype),
                       valid=jnp.asarray(valid),
                       lo=jnp.asarray(lo, dtype), hi=jnp.asarray(hi, dtype),
                       num_blocks=int(nbt), num_points=int(M), tb=int(tb))
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("block", "sup_lo", "sup_hi"),
+    meta_fields=("sb", "num_supers"))
+@dataclasses.dataclass(frozen=True)
+class MapIndex:
+    """Two-level block index for MAP-SCALE targets (millions+ of points).
+
+    Level 0 is the flat ``BlockIndex`` (tb-point Morton blocks + bboxes);
+    level 1 groups ``sb`` consecutive blocks into SUPER-blocks with their
+    own bboxes.  Culling then goes query-block -> relevant supers ->
+    relevant blocks, so nothing ever materializes an
+    (n_query_blocks, n_target_blocks) matrix -- the per-iteration cost
+    tracks the scan's spatial neighborhood, not the map size.  This is the
+    TPU-native shape of the reference's scan-to-map KD-tree queries
+    against 53M-241M-point prior maps (supp.pdf Tables II/III;
+    icp_test_runner.cpp:1722)."""
+    block: BlockIndex
+    sup_lo: jax.Array     # (ns, 3) super bbox over real points
+    sup_hi: jax.Array     # (ns, 3)
+    sb: int               # blocks per super
+    num_supers: int
+
+
+def build_map_index(sorted_points, dtype=jnp.float32, tb: int = 128,
+                    sb: int = 64) -> MapIndex:
+    """Build the two-level index from an already Morton-sorted (M, 3) map."""
+    bi = build_block_index(sorted_points, dtype=dtype, tb=tb)
+    nbt = bi.num_blocks
+    ns = -(-nbt // sb)
+    pad = ns * sb - nbt
+    lo = np.concatenate([np.asarray(bi.lo, np.float64),
+                         np.full((pad, 3), np.inf)])
+    hi = np.concatenate([np.asarray(bi.hi, np.float64),
+                         np.full((pad, 3), -np.inf)])
+    sup_lo = lo.reshape(ns, sb, 3).min(axis=1)
+    sup_hi = hi.reshape(ns, sb, 3).max(axis=1)
+    return MapIndex(block=bi, sup_lo=jnp.asarray(sup_lo, dtype),
+                    sup_hi=jnp.asarray(sup_hi, dtype), sb=int(sb),
+                    num_supers=int(ns))
 
 
 def suggest_num_blocks(index: BlockIndex, sample_queries, radius: float,

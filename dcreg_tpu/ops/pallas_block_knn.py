@@ -60,20 +60,26 @@ MAX_INDEX_BITS = 15   # candidate-count cap 2^15; quantization 2^(IB-23)
 
 
 def _index_bits(num_cand: int) -> int:
-    """Mantissa bits needed to pack candidate ids 0..num_cand-1."""
+    """Mantissa bits needed to pack candidate ids 0..num_cand-1.
+
+    ``num_cand`` is the DIRECT-id range: (num target blocks + 1) * TB for
+    small maps, or max_per_query * TB when the caller packs slot-local ids
+    (the two-level scheme that lifts the map-size cap -- see
+    ``batched_block_knn``'s ``slot``/``tid_table`` arguments)."""
     ib = max(1, int(np.ceil(np.log2(max(num_cand, 2)))))
     if ib > MAX_INDEX_BITS:
         raise ValueError(
-            f"batched_block_knn supports at most 2^{MAX_INDEX_BITS} target "
-            f"points ({num_cand} requested); use block_knn / the sharded "
-            "map path for map-scale targets")
+            f"batched_block_knn packs at most 2^{MAX_INDEX_BITS} candidate "
+            f"ids ({num_cand} requested); for map-scale targets pass the "
+            "slot/tid_table pair from make_pair_list (max_per_query) so "
+            "ids are slot-local")
     return ib
 
 
 INIT_KEY = np.int32(0x7FFFFFFF)
 
 
-def _kernel(qid_ref, tid_ref, mask_ref, src_ref, tgt_ref, pose_ref,
+def _kernel(qid_ref, tid_ref, pid_ref, mask_ref, src_ref, tgt_ref, pose_ref,
             key_ref, run_key, *, n_lanes: int, nq: int, index_bits: int,
             scale: float, clamp: float):
     p = pl.program_id(0)
@@ -88,9 +94,11 @@ def _kernel(qid_ref, tid_ref, mask_ref, src_ref, tgt_ref, pose_ref,
     def _body():
         src = src_ref[0]                       # (3, QB)
         tgt = tgt_ref[0]                       # (TB, 3)
-        # global candidate ids, packed into the low key bits
+        # candidate ids, packed into the low key bits: pid is the global
+        # target block id (small maps) or the pair's slot within its query
+        # block's run (two-level map-scale mode)
         gidx = (jax.lax.broadcasted_iota(jnp.int32, (TB, QB), 0)
-                + tid_ref[p] * TB)
+                + pid_ref[p] * TB)
 
         def lane(b, _):
             def merge():
@@ -134,11 +142,12 @@ def _kernel(qid_ref, tid_ref, mask_ref, src_ref, tgt_ref, pose_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("num_pairs", "radius", "layout",
-                                    "interpret"))
+                                    "interpret", "max_per_query"))
 def batched_block_knn(index: BlockIndex, src_blocks, poses, qid, tid,
                       num_pairs: int, radius: float = 1.0, covered=None,
                       lane_mask=None, layout: str = "nk",
-                      interpret: bool = False):
+                      interpret: bool = False, slot=None, tid_table=None,
+                      max_per_query: int = 0):
     """All-lane 5-NN for one ICP iteration.
 
     index: BlockIndex with TB=128 blocks;
@@ -154,7 +163,17 @@ def batched_block_knn(index: BlockIndex, src_blocks, poses, qid, tid,
     rows of uncovered blocks hold uninitialized device memory -- when
     ``covered`` is given those rows are post-masked to (BIG, -1);
     lane_mask: optional (P, ceil(B/32)) int32 per-lane relevance bit words
-    (see ``pack_lane_mask``); lanes whose bit is 0 skip the pair entirely.
+    (see ``pack_lane_mask``); lanes whose bit is 0 skip the pair entirely;
+    slot/tid_table/max_per_query: two-level MAP-SCALE id mode.  ``slot``
+    (P,) int32 is each pair's rank within its query block's run (< the
+    static ``max_per_query``); ``tid_table`` (nq, max_per_query) int32
+    maps (query block, slot) back to the global target block.  Candidate
+    keys then pack slot-local ids (max_per_query * TB of them) instead of
+    global ones, so the packed-id range -- and hence the distance
+    quantization -- is INDEPENDENT of the map size: any number of target
+    blocks is supported (the old hard cap was 2^15 global candidate ids).
+    All three must be given together (see ``make_pair_list`` with
+    ``max_per_query``).
 
     Returns (sq_dists ascending, idx int32 into the sorted target, -1
     where missing); rows K..KP-1 are BIG/-1.  ``layout`` picks the output
@@ -168,18 +187,23 @@ def batched_block_knn(index: BlockIndex, src_blocks, poses, qid, tid,
     nq = src_blocks.shape[0]
     B = poses.shape[0]
     nbt = index.num_blocks
-    ib = _index_bits((nbt + 1) * TB)
+    slotted = tid_table is not None
+    if slotted:
+        assert slot is not None and max_per_query > 0
+        ib = _index_bits(max_per_query * TB)
+        pid = slot
+    else:
+        ib = _index_bits((nbt + 1) * TB)
+        pid = tid
     imask = (1 << ib) - 1
     vmax = (1 << (31 - ib)) - 1
     clamp = 1.1 * float(radius) ** 2
     scale = (vmax - 1) / clamp
 
-    # target blocks with a trailing BIG sentinel block (for padding pairs)
-    tgt = jnp.concatenate(
-        [index.blocks, jnp.full((1, TB, 3), BIG, index.blocks.dtype)], axis=0)
-    tgt = jnp.where(jnp.concatenate(
-        [index.valid, jnp.zeros((1, TB), bool)], axis=0)[..., None],
-        tgt, BIG)
+    # index.blocks already carries sentinel coords at padding slots and a
+    # trailing all-sentinel block (for padding pairs) -- no per-call remask
+    # or copy of the (potentially multi-GB) map array
+    tgt = index.blocks.astype(jnp.float32)
 
     in_specs = [
         pl.BlockSpec((1, 3, QB),
@@ -189,11 +213,11 @@ def batched_block_knn(index: BlockIndex, src_blocks, poses, qid, tid,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
-    num_prefetch = 2
-    operands = [qid, tid, src_blocks, tgt, poses]
+    num_prefetch = 3
+    operands = [qid, tid, pid, src_blocks, tgt, poses]
     if lane_mask is not None:
-        num_prefetch = 3
-        operands = [qid, tid, lane_mask, src_blocks, tgt, poses]
+        num_prefetch = 4
+        operands = [qid, tid, pid, lane_mask, src_blocks, tgt, poses]
 
     kw = dict(n_lanes=B, nq=nq, index_bits=ib, scale=scale, clamp=clamp)
 
@@ -201,8 +225,8 @@ def batched_block_knn(index: BlockIndex, src_blocks, poses, qid, tid,
         if with_mask:
             return functools.partial(_kernel, **kw)
         return functools.partial(
-            lambda q, t, s, g, po, k, r, **kw2:
-                _kernel(q, t, None, s, g, po, k, r, **kw2),
+            lambda q, t, pi, s, g, po, k, r, **kw2:
+                _kernel(q, t, pi, None, s, g, po, k, r, **kw2),
             **kw)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -236,9 +260,21 @@ def batched_block_knn(index: BlockIndex, src_blocks, poses, qid, tid,
 
     out_key = out_key[:nq]
     missing = out_key >= (vmax << ib)
-    out_idx = jnp.where(missing, -1,
-                        jnp.minimum(jnp.bitwise_and(out_key, imask),
-                                    index.num_points - 1))
+    if slotted:
+        # two-level decode: slot-local id -> (slot, offset) -> global id
+        # via the (nq, max_per_query) slot->target-block table
+        local = jnp.bitwise_and(out_key, imask)              # (nq, B*KP, QB)
+        s_of = jnp.where(missing, 0, local // TB)
+        off = local % TB
+        t_of = jnp.take_along_axis(
+            tid_table, s_of.reshape(nq, -1), axis=1).reshape(s_of.shape)
+        out_idx = jnp.where(missing, -1,
+                            jnp.minimum(t_of * TB + off,
+                                        index.num_points - 1))
+    else:
+        out_idx = jnp.where(missing, -1,
+                            jnp.minimum(jnp.bitwise_and(out_key, imask),
+                                        index.num_points - 1))
     out_val = jnp.where(
         missing, BIG,
         jax.lax.shift_right_logical(out_key, jnp.int32(ib))
@@ -281,6 +317,136 @@ def make_pair_list(rel, num_pairs: int):
     tid = jnp.where(is_pad, nbt, keys % nbt).astype(jnp.int32)
     total = jnp.sum(rel.astype(jnp.int32))
     return qid, tid, jnp.maximum(total - num_pairs, 0)
+
+
+def make_pair_list_slotted(rel, num_pairs: int, max_per_query: int,
+                           block_ids=None, nbt=None):
+    """Slotted pair list for the two-level (map-scale) kernel mode.
+
+    rel: (nq, C) bool relevance over CANDIDATE COLUMNS -- either the full
+    target-block axis (C == nbt, block_ids None) or a per-query-block
+    gathered candidate set (block_ids (nq, C) int32 gives each column's
+    global target block; see ``hier_relevance``).  ``nbt`` is the global
+    target block count (defaults to C).
+
+    Returns (qid, tid, slot, col, tid_table, overflow, run_overflow):
+      qid/tid (P,) as in ``make_pair_list`` (padding qid=nq, tid=nbt);
+      slot (P,) rank of the pair within its query block's run, always
+      < max_per_query (pairs beyond that are dropped and counted in
+      run_overflow -- size max_per_query via the host estimators so this
+      stays 0);
+      col (P,) the pair's candidate column (0 for padding);
+      tid_table (nq, max_per_query) slot -> global target block.
+    """
+    nq, C = rel.shape
+    if nbt is None:
+        nbt = C
+    sentinel = jnp.int32(nq * C)
+    flat = jnp.arange(nq * C, dtype=jnp.int32)
+    keys = jnp.where(rel.reshape(-1), flat, sentinel)
+    keys = jnp.sort(keys)
+    if num_pairs > keys.shape[0]:
+        keys = jnp.concatenate([keys, jnp.full(num_pairs - keys.shape[0],
+                                               sentinel, jnp.int32)])
+    keys = keys[:num_pairs]
+    is_pad = keys >= sentinel
+    qid_r = jnp.where(is_pad, nq, keys // C).astype(jnp.int32)
+    col_r = jnp.where(is_pad, 0, keys % C).astype(jnp.int32)
+
+    # slot = index within the (contiguous, qid-sorted) run
+    ar = jnp.arange(num_pairs, dtype=jnp.int32)
+    prev_q = jnp.concatenate([jnp.full((1,), -1, jnp.int32), qid_r[:-1]])
+    run_start = jax.lax.cummax(jnp.where(qid_r != prev_q, ar, 0))
+    slot_r = ar - run_start
+    drop = (~is_pad) & (slot_r >= max_per_query)
+
+    if block_ids is None:
+        tid_r = col_r
+    else:
+        tid_r = block_ids[qid_r % nq, col_r].astype(jnp.int32)
+    dead = is_pad | drop
+    qid = jnp.where(dead, nq, qid_r)
+    tid = jnp.where(dead, nbt, tid_r)
+    slot = jnp.where(dead, 0, slot_r)
+    col = jnp.where(dead, 0, col_r)
+
+    # (nq, max_per_query) slot -> target block; dead pairs scatter into a
+    # trash row that is sliced off
+    tbl = jnp.zeros((nq + 1, max_per_query), jnp.int32)
+    tbl = tbl.at[qid, slot].set(tid, mode="drop")
+
+    total = jnp.sum(rel.astype(jnp.int32))
+    overflow = jnp.maximum(total - num_pairs, 0)
+    run_overflow = jnp.sum(drop.astype(jnp.int32))
+    return qid, tid, slot, col, tbl[:nq], overflow, run_overflow
+
+
+def super_candidates(slo, shi, Rs, ts, mindex, r_cull, num_supers: int,
+                     active=None):
+    """Per-query-block nearest relevant SUPER-blocks (level-1 cull).
+
+    slo/shi: (nq, 3) body-frame source block bboxes; Rs (B, 3, 3), ts
+    (B, 3); r_cull as in ``lane_relevance``; active: optional (B,) bool
+    lane mask.  Returns (sup_sel (nq, S) int32, sup_ok (nq, S) bool,
+    sup_overflow () int32 = #query blocks whose relevant-super count
+    exceeded S)."""
+    rel = lane_relevance(slo, shi, Rs, ts, mindex.sup_lo, mindex.sup_hi,
+                         r_cull, per_lane=True)              # (B, nq, ns)
+    if active is not None:
+        rel = rel & active[:, None, None]
+    # rank supers by their best-over-lanes bbox gap (recomputed cheaply
+    # from the union: use any-lane relevance + lane-min gap)
+    m = Rs[:, None, :, :] * slo[None, :, None, :]
+    M = Rs[:, None, :, :] * shi[None, :, None, :]
+    qlo = jnp.sum(jnp.minimum(m, M), axis=-1) + ts[:, None, :]
+    qhi = jnp.sum(jnp.maximum(m, M), axis=-1) + ts[:, None, :]
+    gap = jnp.maximum(0.0,
+                      jnp.maximum(qlo[:, :, None, :] - mindex.sup_hi,
+                                  mindex.sup_lo - qhi[:, :, None, :]))
+    d2 = jnp.min(jnp.sum(gap * gap, axis=-1), axis=0)        # (nq, ns)
+    any_rel = jnp.any(rel, axis=0)                           # (nq, ns)
+    n_rel = jnp.sum(any_rel.astype(jnp.int32), axis=1)
+    S = min(num_supers, mindex.num_supers)
+    score = jnp.where(any_rel, d2, jnp.inf)
+    neg, sup_sel = jax.lax.top_k(-score, S)
+    sup_ok = jnp.isfinite(-neg)
+    sup_sel = jnp.where(sup_ok, sup_sel, 0).astype(jnp.int32)
+    return sup_sel, sup_ok, jnp.sum((n_rel > S).astype(jnp.int32))
+
+
+def hier_relevance(slo, shi, Rs, ts, mindex, sup_sel, sup_ok, r_cull):
+    """Level-0 cull restricted to the selected supers' blocks.
+
+    Returns (rel_l (B, nq, C) bool with C = S*sb, block_ids (nq, C)
+    int32 global target-block per column).  Columns of invalid blocks
+    (beyond the map or an unselected super slot) are False."""
+    nq = slo.shape[0]
+    S = sup_sel.shape[1]
+    sb = mindex.sb
+    bi = mindex.block
+    block_ids = (sup_sel[:, :, None] * sb
+                 + jnp.arange(sb, dtype=jnp.int32)).reshape(nq, S * sb)
+    in_map = (block_ids < bi.num_blocks) & \
+        jnp.repeat(sup_ok, sb, axis=1)
+    safe_ids = jnp.where(in_map, block_ids, 0)
+    blo = bi.lo[safe_ids]                                    # (nq, C, 3)
+    bhi = bi.hi[safe_ids]
+
+    m = Rs[:, None, :, :] * slo[None, :, None, :]
+    M = Rs[:, None, :, :] * shi[None, :, None, :]
+    qlo = jnp.sum(jnp.minimum(m, M), axis=-1) + ts[:, None, :]  # (B, nq, 3)
+    qhi = jnp.sum(jnp.maximum(m, M), axis=-1) + ts[:, None, :]
+    gap = jnp.maximum(0.0,
+                      jnp.maximum(qlo[:, :, None, :] - bhi[None, :, :, :],
+                                  blo[None, :, :, :] - qhi[:, :, None, :]))
+    d2 = jnp.sum(gap * gap, axis=-1)                         # (B, nq, C)
+    r = jnp.asarray(r_cull)
+    if r.ndim == 1:
+        r = r[:, None, None]
+    elif r.ndim == 2:
+        r = r[:, :, None]
+    rel = (d2 <= r * r) & in_map[None, :, :]
+    return rel, safe_ids
 
 
 def pack_lane_mask(rel_lanes, qid, tid):

@@ -81,7 +81,7 @@ INIT_KEY = np.int32(0x7FFFFFFF)
 
 def _kernel(qid_ref, tid_ref, pid_ref, mask_ref, src_ref, tgt_ref, pose_ref,
             key_ref, run_key, *, n_lanes: int, nq: int, index_bits: int,
-            scale: float, clamp: float):
+            scale: float, clamp: float, n_words: int = 1):
     p = pl.program_id(0)
     first = jnp.where(p == 0, True,
                       qid_ref[p] != qid_ref[jnp.maximum(p - 1, 0)])
@@ -131,7 +131,10 @@ def _kernel(qid_ref, tid_ref, pid_ref, mask_ref, src_ref, tgt_ref, pose_ref,
             if mask_ref is None:
                 merge()
             else:
-                word = mask_ref[p, b // 32]
+                # mask is FLAT (P * n_words,): a 2-D SMEM array would be
+                # lane-padded to (P, 128) and blow the ~1 MB SMEM budget
+                # for map-scale pair lists
+                word = mask_ref[p * n_words + b // 32]
                 pl.when(((word >> (b % 32)) & 1) != 0)(merge)
             return 0
 
@@ -215,11 +218,15 @@ def batched_block_knn(index: BlockIndex, src_blocks, poses, qid, tid,
     ]
     num_prefetch = 3
     operands = [qid, tid, pid, src_blocks, tgt, poses]
+    n_words = 1
     if lane_mask is not None:
         num_prefetch = 4
-        operands = [qid, tid, pid, lane_mask, src_blocks, tgt, poses]
+        n_words = lane_mask.shape[1]
+        operands = [qid, tid, pid, lane_mask.reshape(-1), src_blocks, tgt,
+                    poses]
 
-    kw = dict(n_lanes=B, nq=nq, index_bits=ib, scale=scale, clamp=clamp)
+    kw = dict(n_lanes=B, nq=nq, index_bits=ib, scale=scale, clamp=clamp,
+              n_words=n_words)
 
     def make_kernel(with_mask):
         if with_mask:

@@ -77,7 +77,10 @@ def factor_mesh(n_devices: int) -> tuple[int, int]:
 
 def _local_topk(p_w, tgt_loc, tgt_valid_loc, kk):
     """Exact top-kk (smallest sqdist) of each row of p_w in the local map
-    block; returns (sqdist (n, kk), coords (n, kk, 3))."""
+    block; returns (sqdist (n, kk), coords (n, kk, 3)).
+
+    Dense (n, M_shard) variant -- only viable for small shards; the
+    block-culled variant below is the map-scale path."""
     t_sq = jnp.sum(tgt_loc * tgt_loc, axis=-1)
     t_sq = jnp.where(tgt_valid_loc, t_sq, jnp.inf)
     d = (jnp.sum(p_w * p_w, axis=-1)[:, None] + t_sq[None, :]
@@ -91,6 +94,63 @@ def _local_topk(p_w, tgt_loc, tgt_valid_loc, kk):
     return d_exact, cand
 
 
+_QBS = 128   # query block size for the culled local search
+
+
+def _local_topk_culled(p_w, q_valid, tgt_blocks, tgt_bval, blo, bhi,
+                       radius, kk, G):
+    """Exact within-``radius`` top-kk via bbox block culling (the
+    ops/block_sparse.block_knn design applied INSIDE the map shard): per
+    128-query block, only the nearest G target blocks whose bbox is
+    within ``radius`` are searched, so per-iteration cost tracks the
+    neighborhood occupancy, not M_shard.  Neighbors beyond ``radius`` may
+    be reported as inf -- the correspondence radius gate downstream
+    rejects them identically.  Returns (sqdist (n, kk), coords
+    (n, kk, 3), overflow () int32 = #query blocks with > G relevant
+    target blocks; size G so this stays 0)."""
+    n = p_w.shape[0]
+    nbt, tb = tgt_bval.shape
+    Gc = min(G, nbt)
+    nq = -(-n // _QBS)
+    pad = nq * _QBS - n
+    qp = jnp.concatenate([p_w, jnp.full((pad, 3), 1e6, p_w.dtype)])
+    qv = jnp.concatenate([q_valid, jnp.zeros(pad, bool)])
+    qb = qp.reshape(nq, _QBS, 3)
+    qvb = qv.reshape(nq, _QBS)
+    # query bboxes over VALID rows only (padding/invalid rows carry the
+    # far fill and would otherwise make every target block relevant)
+    qlo = jnp.min(jnp.where(qvb[..., None], qb, jnp.inf), axis=1)
+    qhi = jnp.max(jnp.where(qvb[..., None], qb, -jnp.inf), axis=1)
+
+    gap = jnp.maximum(0.0, jnp.maximum(qlo[:, None] - bhi[None, :],
+                                       blo[None, :] - qhi[:, None]))
+    d_bb = jnp.sum(gap * gap, axis=-1)                       # (nq, nbt)
+    rel = d_bb <= radius * radius
+    overflow = jnp.sum((jnp.sum(rel.astype(jnp.int32), axis=1) > Gc)
+                       .astype(jnp.int32))
+    score = jnp.where(rel, d_bb, jnp.inf)
+    neg, bsel = jax.lax.top_k(-score, Gc)                    # (nq, Gc)
+    slot_ok = jnp.isfinite(-neg)
+    bsel = jnp.where(slot_ok, bsel, 0)
+
+    cand = tgt_blocks[bsel].reshape(nq, Gc * tb, 3)
+    cok = (tgt_bval[bsel] & slot_ok[..., None]).reshape(nq, Gc * tb)
+    # keep candidate coords finite (sentinel padding is +-BIG): clipped
+    # coords stay far beyond every radius gate but never produce NaNs in
+    # the plane fit
+    cand = jnp.clip(cand, -1e6, 1e6)
+
+    diff = qb[:, :, None, :] - cand[:, None, :, :]
+    d = jnp.sum(diff * diff, axis=-1)                        # (nq, QBS, C)
+    d = jnp.where(cok[:, None, :], d, jnp.inf)
+    negd, sel = jax.lax.top_k(-d, kk)
+    d_sel = -negd                                            # (nq, QBS, kk)
+    coords = cand[jnp.arange(nq)[:, None, None], sel, :]     # (nq,QBS,kk,3)
+    d_out = d_sel.reshape(nq * _QBS, kk)[:n]
+    c_out = coords.reshape(nq * _QBS, kk, 3)[:n]
+    return d_out, c_out, overflow
+
+
 class ShardedICPResult(NamedTuple):
     R: jax.Array            # (3, 3)
     t: jax.Array            # (3,)
@@ -102,17 +162,32 @@ class ShardedICPResult(NamedTuple):
     effective_points: jax.Array  # () int32
     dx_history: jax.Array   # (I, 6)
     transform_history: jax.Array  # (I, 4, 4)
+    block_overflow: jax.Array    # () int32 (block-cull capacity; 0 = exact)
 
 
 def sharded_icp_register(mesh: Mesh, source_xyz, target_xyz, R0, t0,
                          detection, handling,
                          params: ICPParams = ICPParams(),
-                         T_gt=None, source_valid=None, target_valid=None):
+                         T_gt=None, source_valid=None, target_valid=None,
+                         block_cull: bool = True, block_size: int = 32,
+                         num_blocks: int = 16):
     """Full degeneracy-aware point-to-plane ICP, sharded over ``mesh``.
 
     source_xyz (N, 3) with N divisible by mesh.shape['data']; target_xyz
-    (M, 3) with M divisible by mesh.shape['map'].  Pads are expressed via
-    the optional validity masks.  Returns replicated ShardedICPResult.
+    (M, 3) with M divisible by mesh.shape['map'] (and, with the default
+    ``block_cull``, by map * block_size -- use ``shard_points(...,
+    block=block_size)``).  Pads are expressed via the optional validity
+    masks.  Returns replicated ShardedICPResult.
+
+    block_cull: search each map shard through ``block_size``-point bbox
+    blocks, visiting only the <= ``num_blocks`` nearest relevant blocks
+    per 128-query block (exact within the correspondence radius; the
+    TPU-native KD-tree replacement of ops/block_sparse.py applied inside
+    shard_map).  Per-iteration cost then tracks neighborhood occupancy
+    instead of M_shard, which is what makes 100k+-point shards viable.
+    Target should be Morton-sorted (ops/block_sparse.morton_argsort) for
+    compact blocks.  ``block_cull=False`` is the dense (n, M_shard) path
+    for tiny targets.
     """
     dtype = source_xyz.dtype
     if T_gt is None:
@@ -127,6 +202,13 @@ def sharded_icp_register(mesh: Mesh, source_xyz, target_xyz, R0, t0,
     k = params.corr.k
     cp = params.corr
     I = params.max_iterations
+    tb = block_size
+    n_map_shards = mesh.shape["map"]
+    if block_cull and (target_xyz.shape[0] % (n_map_shards * tb)) != 0:
+        raise ValueError(
+            f"block_cull needs M divisible by map shards * block_size "
+            f"({n_map_shards} * {tb}); pad with shard_points(..., "
+            f"block={tb})")
 
     @precise
     def body(src_loc, src_val_loc, tgt_loc, tgt_val_loc, R0, t0, det, hand,
@@ -135,9 +217,25 @@ def sharded_icp_register(mesh: Mesh, source_xyz, target_xyz, R0, t0,
         num_source = jax.lax.psum(jnp.sum(src_val_loc.astype(jnp.int32)),
                                   "data")
 
+        if block_cull:
+            # one-time per-shard block structure (the KD-tree build)
+            nbt_loc = tgt_loc.shape[0] // tb
+            tgt_blocks = tgt_loc.reshape(nbt_loc, tb, 3)
+            tgt_bval = tgt_val_loc.reshape(nbt_loc, tb)
+            blo = jnp.min(jnp.where(tgt_bval[..., None], tgt_blocks,
+                                    jnp.inf), axis=1)
+            bhi = jnp.max(jnp.where(tgt_bval[..., None], tgt_blocks,
+                                    -jnp.inf), axis=1)
+
         def one_iteration(R, t):
             p_w = src_loc @ R.T + t
-            d_loc, c_loc = _local_topk(p_w, tgt_loc, tgt_val_loc, k)
+            if block_cull:
+                d_loc, c_loc, b_ovf = _local_topk_culled(
+                    p_w, src_val_loc, tgt_blocks, tgt_bval, blo, bhi,
+                    cp.search_radius, k, num_blocks)
+            else:
+                d_loc, c_loc = _local_topk(p_w, tgt_loc, tgt_val_loc, k)
+                b_ovf = jnp.asarray(0, jnp.int32)
             # (map, n, k) / (map, n, k, 3) -> merged exact global top-k
             d_all = jax.lax.all_gather(d_loc, "map")
             c_all = jax.lax.all_gather(c_loc, "map")
@@ -193,11 +291,11 @@ def sharded_icp_register(mesh: Mesh, source_xyz, target_xyz, R0, t0,
             # post-hoc telemetry pass, not every device every iteration
             dx, _ = solve(H, g, hand, analysis, params.thresholds,
                           telemetry=False)
-            return sysm, dx
+            return sysm, dx, jax.lax.psum(b_ovf, ("data", "map")).astype(jnp.int32)
 
         def loop_body(state):
-            it, R, t, conv, abort, rmse, fit, neff, dx_h, T_h = state
-            sysm, dx = one_iteration(R, t)
+            it, R, t, conv, abort, rmse, fit, neff, dx_h, T_h, ovf = state
+            sysm, dx, b_ovf = one_iteration(R, t)
             too_few = sysm.num_valid < params.min_effective_points
             bad = ~jnp.all(jnp.isfinite(dx))
             abort_now = too_few | bad
@@ -211,7 +309,8 @@ def sharded_icp_register(mesh: Mesh, source_xyz, target_xyz, R0, t0,
             dx_h = dx_h.at[it].set(dx)
             T_h = T_h.at[it].set(se3.se3_matrix(R_new, t_new))
             return (it + 1, R_new, t_new, conv, abort_now, sysm.rmse,
-                    sysm.fitness, sysm.num_valid.astype(jnp.int32), dx_h, T_h)
+                    sysm.fitness, sysm.num_valid.astype(jnp.int32), dx_h,
+                    T_h, jnp.maximum(ovf, b_ovf))
 
         def loop_cond(state):
             it, R, t, conv, abort = state[:5]
@@ -222,13 +321,14 @@ def sharded_icp_register(mesh: Mesh, source_xyz, target_xyz, R0, t0,
                 jnp.asarray(jnp.nan, dtype), jnp.asarray(jnp.nan, dtype),
                 jnp.asarray(0, jnp.int32),
                 jnp.full((I, 6), jnp.nan, dtype),
-                jnp.full((I, 4, 4), jnp.nan, dtype))
-        it, R, t, conv, abort, rmse, fit, neff, dx_h, T_h = \
+                jnp.full((I, 4, 4), jnp.nan, dtype),
+                jnp.asarray(0, jnp.int32))
+        it, R, t, conv, abort, rmse, fit, neff, dx_h, T_h, ovf = \
             jax.lax.while_loop(loop_cond, loop_body, init)
         return ShardedICPResult(R=R, t=t, converged=conv, aborted=abort,
                                 iterations=it, rmse=rmse, fitness=fit,
                                 effective_points=neff, dx_history=dx_h,
-                                transform_history=T_h)
+                                transform_history=T_h, block_overflow=ovf)
 
     fn = shard_map(
         body, mesh=mesh,
@@ -247,11 +347,12 @@ def pad_for_mesh(arr_len: int, shards: int) -> int:
     return ((arr_len + shards - 1) // shards) * shards
 
 
-def shard_points(xyz, shards: int, fill: float = 1e6):
-    """Pad (N, 3) points to a multiple of ``shards``; far-away fill keeps
-    padded rows out of every radius gate.  Returns (padded_xyz, valid)."""
+def shard_points(xyz, shards: int, fill: float = 1e6, block: int = 1):
+    """Pad (N, 3) points to a multiple of ``shards * block``; far-away fill
+    keeps padded rows out of every radius gate.  ``block`` aligns each
+    shard to the block-cull block size.  Returns (padded_xyz, valid)."""
     n = xyz.shape[0]
-    m = pad_for_mesh(n, shards)
+    m = pad_for_mesh(n, shards * block)
     pad = m - n
     xyz_p = jnp.pad(xyz, ((0, pad), (0, 0)), constant_values=fill)
     valid = jnp.arange(m) < n

@@ -1,7 +1,9 @@
 """Sharded-vs-single-chip equivalence on a virtual 8-device CPU mesh.
 
 SURVEY.md section 4 item 6: "multi-chip tests that compare sharded H/g
-accumulation ... against single-chip (within fp tolerance)".
+accumulation ... against single-chip (within fp tolerance)".  Covers both
+the dense per-shard search and the block-culled map-scale path
+(parallel/sharded._local_topk_culled).
 """
 import jax
 import jax.numpy as jnp
@@ -9,6 +11,7 @@ import numpy as np
 import pytest
 
 from dcreg_tpu.models.icp import ICPParams, icp_point_to_plane_so3
+from dcreg_tpu.ops.block_sparse import morton_argsort
 from dcreg_tpu.ops.degeneracy import DetectionMethod, HandlingMethod
 from dcreg_tpu.parallel import (factor_mesh, make_mesh, shard_points,
                                 sharded_icp_register)
@@ -23,12 +26,16 @@ def _random_scene(n=512, m=1024, seed=0):
     xy = rng.uniform(-5, 5, (m, 2))
     z = 0.1 * np.sin(xy[:, 0]) * np.cos(xy[:, 1]) + rng.normal(0, 0.002, m)
     target = np.column_stack([xy, z])
+    # Morton-sort the target: the block-culled path needs spatially
+    # compact blocks (correct regardless, efficient only when sorted)
+    target = target[morton_argsort(target)]
     source = target[rng.choice(m, n, replace=False)]
     return (jnp.asarray(source, jnp.float64), jnp.asarray(target, jnp.float64))
 
 
-@pytest.mark.parametrize("n_devices", [8])
-def test_sharded_matches_single_chip(n_devices):
+@pytest.mark.parametrize("block_cull", [False, True])
+def test_sharded_matches_single_chip(block_cull):
+    n_devices = 8
     if len(jax.devices()) < n_devices:
         pytest.skip("needs virtual device mesh")
     source, target = _random_scene()
@@ -44,12 +51,13 @@ def test_sharded_matches_single_chip(n_devices):
     dp, mp = factor_mesh(n_devices)
     mesh = make_mesh(dp, mp)
     src_p, src_v = shard_points(source, dp)
-    tgt_p, tgt_v = shard_points(target, mp)
+    tgt_p, tgt_v = shard_points(target, mp, block=32)
     res = sharded_icp_register(
         mesh, src_p, tgt_p, R0, t0, DetectionMethod.SCHUR_CONDITION_NUMBER,
         HandlingMethod.PRECONDITIONED_CG, params,
-        source_valid=src_v, target_valid=tgt_v)
+        source_valid=src_v, target_valid=tgt_v, block_cull=block_cull)
 
+    assert int(res.block_overflow) == 0
     np.testing.assert_allclose(np.asarray(res.t), np.asarray(ref.t),
                                atol=1e-8)
     np.testing.assert_allclose(np.asarray(res.R), np.asarray(ref.R),
@@ -60,13 +68,16 @@ def test_sharded_matches_single_chip(n_devices):
 
 @requires_reference
 def test_sharded_cylinder_ours(cylinder_clouds):
-    """The headline benchmark registered on a 4x2 mesh reproduces the
-    single-chip DCReg trajectory."""
+    """The headline benchmark registered on a 4x2 mesh (block-culled map
+    shards) reproduces the single-chip DCReg trajectory."""
     if len(jax.devices()) < 8:
         pytest.skip("needs virtual device mesh")
     source, target, T0, T_gt = cylinder_clouds
-    source = jnp.asarray(source)
-    target = jnp.asarray(target)
+    # both paths get the same Morton-sorted clouds: the culled search
+    # needs spatially coherent 128-query blocks, and order does not
+    # change the registration problem
+    source = jnp.asarray(np.asarray(source)[morton_argsort(source)])
+    target = jnp.asarray(np.asarray(target)[morton_argsort(target)])
     R0 = jnp.asarray(T0[:3, :3])
     t0 = jnp.asarray(T0[:3, 3])
     params = ICPParams()
@@ -78,12 +89,16 @@ def test_sharded_cylinder_ours(cylinder_clouds):
 
     mesh = make_mesh(4, 2)
     src_p, src_v = shard_points(source, 4)
-    tgt_p, tgt_v = shard_points(target, 2)
+    tgt_p, tgt_v = shard_points(target, 2, block=32)
+    # the cylinder is dense relative to the 1 m search radius: a query
+    # block can see ~40 of the 32-point blocks
     res = sharded_icp_register(
         mesh, src_p, tgt_p, R0, t0, DetectionMethod.SCHUR_CONDITION_NUMBER,
         HandlingMethod.PRECONDITIONED_CG, params,
-        T_gt=jnp.asarray(T_gt), source_valid=src_v, target_valid=tgt_v)
+        T_gt=jnp.asarray(T_gt), source_valid=src_v, target_valid=tgt_v,
+        num_blocks=96)
 
+    assert int(res.block_overflow) == 0
     err = float(jnp.linalg.norm(res.t - ref.t))
     assert err < 1e-6, err
     assert bool(res.converged)

@@ -30,13 +30,17 @@ def init_distributed(coordinator_address: str | None = None,
     process_id explicitly.  Returns True if distributed mode is active
     (more than one process), False for single-process runs (no-op).
     """
+    already = getattr(jax.distributed, "is_initialized", lambda: False)()
+    if already:
+        # benign: a second init call in a live multi-host job
+        return jax.process_count() > 1
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except (ValueError, RuntimeError) as e:
-        if "already initialized" in str(e).lower():
-            # benign: a second init call in a live multi-host job
+        msg = str(e).lower()
+        if "already initialized" in msg or "must be called before" in msg:
             return jax.process_count() > 1
         if jax.process_count() <= 1:
             # single-process environment: distributed mode unavailable

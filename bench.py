@@ -223,11 +223,15 @@ def bench_map(out):
     world = world[morton_argsort(world)]
     mindex = build_map_index(world, dtype=jnp.float32, tb=128, sb=64)
 
-    # GT pose in the interior; 5k-pt body-frame scan from map points
+    # GT pose in the interior; 5k-pt body-frame scan from map points.
+    # The scan covers a ~6 m radius at near-map density -- the regime of
+    # the reference's frames (Stairs: 3-5k pts in a stairwell section);
+    # a 5k scan smeared over tens of meters would be ~100x sparser than
+    # the map and no LiDAR produces that
     rng = np.random.default_rng(11)
     center = np.array([extent * 0.2, -extent * 0.15, 0.8])
     d2 = np.sum((world - center) ** 2, axis=1)
-    near = world[d2 < 20.0 ** 2]
+    near = world[d2 < 6.0 ** 2]
     scan_w = near[rng.choice(near.shape[0], 5000, replace=False)]
     yaw = 0.3
     Rg = np.asarray(se3.euler_zyx_to_rot(*map(jnp.asarray,
@@ -251,8 +255,13 @@ def bench_map(out):
 
     poses_np = [(np.asarray(R0s[i], np.float64), np.asarray(t0s[i]))
                 for i in range(MAP_BATCH)]
-    S, G, P = estimate_map_capacities(mindex, scan, poses_np,
-                                      params.corr.search_radius)
+    # iteration-0 cull bound: initial pose error <= ~0.35 m trans +
+    # 1 deg * 6 m lever ~ 0.45 m, plus d5(converged) ~ 0.1 m at map
+    # density -- 0.6 m upper-bounds every query's initial 5th-NN
+    # distance, so culling at it is exact (see icp_batch_so3 docstring);
+    # the 1.0 m correspondence gate itself is unchanged
+    R_CULL0 = 0.6
+    S, G, P = estimate_map_capacities(mindex, scan, poses_np, R_CULL0)
 
     world_j = jnp.asarray(world)
     scan_j = jnp.asarray(scan)
@@ -263,7 +272,7 @@ def bench_map(out):
                              DetectionMethod.SCHUR_CONDITION_NUMBER,
                              HandlingMethod.PRECONDITIONED_CG, params,
                              mindex, P, T_gt=T_gt_j, num_supers=S,
-                             max_per_query=G)
+                             max_per_query=G, initial_cull_radius=R_CULL0)
 
     res = jax.block_until_ready(run(R0s, t0s))
     assert int(res.pair_overflow) == 0, "map pair-list overflow"
@@ -284,7 +293,8 @@ def bench_map(out):
                               t0s_, DetectionMethod.SCHUR_CONDITION_NUMBER,
                               HandlingMethod.PRECONDITIONED_CG, params,
                               mindex, P, T_gt=T_gt_j, num_supers=S,
-                              max_per_query=G)
+                              max_per_query=G,
+                              initial_cull_radius=R_CULL0)
             return jnp.sum(o.t) * 0.0
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 

@@ -149,44 +149,77 @@ class TestRunner:
 
     # -- per-iteration timing (utils.hpp:181 iter_time_ms) ----------------
     def _fill_iteration_times(self, rec, method_name, detection, handling):
-        """Populate rec.iter_time_ms.  With cfg.stepped_timing, the SO(3)-
-        family iterations are re-executed one-by-one and wall-timed (the
-        replay measures the same work the loop iteration did, dispatch
-        included -- matching the reference's inline timer semantics).
-        Other engines (and the default mode) carry the uniform estimate
-        total_time / iterations."""
+        """Populate rec.iter_time_ms + rec.iter_time_provenance.
+
+        With cfg.stepped_timing every engine gets MEASURED values:
+          - SO(3) family: each recorded iteration's exact work replayed
+            as its own device call ("stepped_replay");
+          - XICP / SuperLoc / O3D: the engine re-run with
+            max_iterations=1 from each recorded pre-iteration pose
+            ("engine_1iter_replay" -- includes the engine's per-call
+            setup, e.g. O3D's normal estimation, so it upper-bounds the
+            pure iteration cost).
+        The default mode carries total/n uniformly and says so
+        ("uniform_estimate") -- provenance is written to
+        iteration_timing_provenance.csv so no synthetic value is ever
+        silent (the reference logs a real per-iteration clock for all
+        engines, icp_test_runner.cpp:1973)."""
         cfg = self.config
         n = max(rec.n_iters, 1)
         rec.iter_time_ms = [rec.time_ms / n] * rec.n_iters
-        so3_family = (not method_name.startswith("XICP")
-                      and method_name not in ("SuperLoc", "O3D")
-                      and cfg.use_so3_parameterization)
-        if not (cfg.stepped_timing and so3_family):
+        rec.iter_time_provenance = "uniform_estimate"
+        if not cfg.stepped_timing:
             return
         params = cfg.icp_params()
         grid = self.grid
         source, target = self.source, self.target
-
-        @jax.jit
-        def step(R, t):
-            corr = find_correspondences(source, R, t, target,
-                                        params=params.corr,
-                                        chunk=params.chunk, grid=grid)
-            sysm = build_system(
-                source, R, t, corr,
-                use_weight_derivative=params.use_weight_derivative,
-                weight_slope=params.corr.weight_slope)
-            analysis = analyze(sysm.H, detection, params.thresholds)
-            dx, _ = solve_system(sysm.H, sysm.g, handling, analysis,
-                                 params.thresholds, telemetry=False)
-            return dx
+        T_gt = jnp.asarray(cfg.gt_matrix(), dtype=self.dtype)
 
         T0 = np.asarray(cfg.initial_matrix())
         Ts = [T0] + [np.asarray(rec.result.log.transform[k])
                      for k in range(rec.n_iters - 1)]
         poses = [(jnp.asarray(T[:3, :3], self.dtype),
                   jnp.asarray(T[:3, 3], self.dtype)) for T in Ts]
+
+        so3_family = (not method_name.startswith("XICP")
+                      and method_name not in ("SuperLoc", "O3D")
+                      and cfg.use_so3_parameterization)
+        if so3_family:
+            @jax.jit
+            def step(R, t):
+                corr = find_correspondences(source, R, t, target,
+                                            params=params.corr,
+                                            chunk=params.chunk, grid=grid)
+                sysm = build_system(
+                    source, R, t, corr,
+                    use_weight_derivative=params.use_weight_derivative,
+                    weight_slope=params.corr.weight_slope)
+                analysis = analyze(sysm.H, detection, params.thresholds)
+                dx, _ = solve_system(sysm.H, sysm.g, handling, analysis,
+                                     params.thresholds, telemetry=False)
+                return dx
+            rec.iter_time_ms = telemetry.stepped_iteration_times(step, poses)
+            rec.iter_time_provenance = "stepped_replay"
+            return
+
+        p1 = params._replace(max_iterations=1)
+        if method_name == "O3D":
+            step = lambda R, t: o3d_icp(source, target, R, t, p1,
+                                        T_gt=T_gt, grid=grid)
+        elif method_name.startswith("XICP"):
+            step = lambda R, t: xicp_register(source, target, R, t,
+                                              detection, handling, p1,
+                                              cfg.xicp, T_gt=T_gt,
+                                              grid=grid)
+        elif method_name == "SuperLoc":
+            step = lambda R, t: superloc_register(source, target, R, t,
+                                                  p1, T_gt=T_gt, grid=grid)
+        else:   # Euler family: one-iteration engine replay
+            step = lambda R, t: icp_point_to_plane_euler(
+                source, target, R, t, detection, handling, p1,
+                T_gt=T_gt, grid=grid)
         rec.iter_time_ms = telemetry.stepped_iteration_times(step, poses)
+        rec.iter_time_provenance = "engine_1iter_replay"
 
     def run_all(self):
         if self.source is None:
@@ -258,6 +291,9 @@ class TestRunner:
                 self.records)
             writers.write_transform_details_csv(
                 os.path.join(out, "transform_details.csv"), self.records)
+            writers.write_timing_provenance_csv(
+                os.path.join(out, "iteration_timing_provenance.csv"),
+                self.records)
             if cfg.num_runs == 1:
                 writers.write_condition_numbers_csv(
                     os.path.join(out, "condition_numbers_detailed.csv"),

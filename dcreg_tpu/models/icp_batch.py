@@ -62,7 +62,8 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
                   detection: DetectionMethod, handling: HandlingMethod,
                   params: ICPParams, index,
                   num_pairs: int, T_gt=None, num_supers: int = 0,
-                  max_per_query: int = 0) -> BatchICPResult:
+                  max_per_query: int = 0,
+                  initial_cull_radius=None) -> BatchICPResult:
     """Run B registrations of one (source, target) pair to convergence.
 
     source_xyz (N, 3) Morton-sorted body-frame points; target_xyz (M, 3)
@@ -77,6 +78,14 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
     additionally needs the static capacities ``num_supers`` (level-1 cull
     width) and ``max_per_query`` (target blocks per query block fed to
     the slotted kernel); see ``estimate_map_capacities``.
+
+    ``initial_cull_radius``: optional iteration-0 block-cull radius
+    (defaults to the full correspondence search radius).  EXACT whenever
+    it upper-bounds every query's initial 5th-NN distance -- e.g.
+    d5(converged) + initial pose error bound, the same rigid-motion
+    argument the adaptive cull uses between iterations.  This is what
+    keeps the candidate set small when a scan meets a much denser map
+    (the correspondence radius gate downstream is unchanged).
     """
     map_mode = isinstance(index, MapIndex)
     mindex = index if map_mode else None
@@ -210,11 +219,12 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
         it, Rs, ts, conv, abt = state[:5]
         return (it < I) & ~jnp.all(conv | abt)
 
+    r0 = radius if initial_cull_radius is None else initial_cull_radius
     state0 = (jnp.asarray(0, jnp.int32), R0s.astype(dtype),
               t0s.astype(dtype), jnp.zeros(B, bool), jnp.zeros(B, bool),
               jnp.zeros(B, jnp.int32), empty_hist(I, dtype, lead=(B,)),
               jnp.asarray(0, jnp.int32),
-              jnp.full((B, nq), radius, jnp.float32))
+              jnp.full((B, nq), jnp.float32(r0), jnp.float32))
     it, Rs, ts, conv, abt, iters, hist, ovf, _ = \
         jax.lax.while_loop(cond, body, state0)
 
@@ -293,8 +303,15 @@ def estimate_map_capacities(mindex: MapIndex, source_xyz, poses_Rt,
     sup_count = rel_sup.sum(axis=1)
 
     num_supers = int(sup_count.max()) + sup_margin
-    max_per_query = min(int(-(-int(blk_count.max()) * margin // 4) * 4) + 4,
-                        256)
+    max_per_query = int(-(-int(blk_count.max()) * margin // 4) * 4) + 4
+    if max_per_query > 256:
+        raise ValueError(
+            f"map-scale slot capacity needs {max_per_query} target blocks "
+            "per query block (cap 256 = 2^15 candidate points / TB).  The "
+            "scan is too sparse relative to the map for radius "
+            f"{radius}: tighten ``radius`` to an initial-pose-error bound "
+            "(icp_batch_so3 initial_cull_radius), densify the scan "
+            "region, or route through parallel/sharded.py")
     num_pairs = max(64, int(-(-total_pairs * margin // 64) * 64))
     return num_supers, max_per_query, num_pairs
 

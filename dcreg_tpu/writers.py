@@ -89,6 +89,22 @@ def write_all_results_csv(path, records: List[MethodRunRecord]):
                     f"{r.p2p_rmse:g},{r.p2p_fitness:g},{r.chamfer:g}\n")
 
 
+def write_timing_provenance_csv(path, records: List[MethodRunRecord]):
+    """Sidecar provenance for iter_time_ms: which values are MEASURED
+    (stepped_replay / engine_1iter_replay) vs uniform total/n estimates.
+    Kept out of iteration_details_with_dx.csv so its header stays
+    byte-identical to the reference schema (icp_test_runner.cpp:1415)."""
+    with open(path, "w") as f:
+        f.write("Method,Run,Iteration,IterTimeMs,Provenance\n")
+        for r in records:
+            if r.run != 0:
+                continue
+            prov = getattr(r, "iter_time_provenance", "uniform_estimate")
+            times = getattr(r, "iter_time_ms", None) or []
+            for k, t_ms in enumerate(times):
+                f.write(f"{r.method},{r.run},{k},{t_ms:.4f},{prov}\n")
+
+
 def write_iteration_history_csv(path, records: List[MethodRunRecord]):
     """iteration_history.csv (icp_test_runner.cpp:1389-1413)."""
     with open(path, "w") as f:

@@ -89,12 +89,16 @@ def _synthetic_map(n_points, extent, seed=7):
     wz = rng.uniform(0, 5, w)
     wall = np.column_stack([wx, wy, wz])
     p = n_points - g - w
-    cx = rng.uniform(-extent, extent, p)
-    cy = rng.uniform(-extent, extent, p)
-    cz = rng.uniform(0, 6, p)
+    # discrete pillars (~1 per 60 m^2), points on their surfaces -- NOT a
+    # diffuse fog (per-point random centers would give every spatial
+    # block a huge bbox and defeat block culling)
+    n_pil = max(8, int((2 * extent) ** 2 / 60.0))
+    centers = rng.uniform(-extent, extent, (n_pil, 2))
+    which = rng.integers(0, n_pil, p)
     ang = rng.uniform(0, 2 * np.pi, p)
-    pil = np.column_stack([cx + 0.4 * np.cos(ang), cy + 0.4 * np.sin(ang),
-                           cz])
+    pz = rng.uniform(0, 6, p)
+    pil = np.column_stack([centers[which, 0] + 0.4 * np.cos(ang),
+                           centers[which, 1] + 0.4 * np.sin(ang), pz])
     return np.vstack([ground, wall, pil]).astype(np.float32)
 
 
@@ -215,12 +219,15 @@ def bench_map(out):
     from dcreg_tpu.models.icp_batch import (estimate_map_capacities,
                                             icp_batch_so3)
     from dcreg_tpu.ops.degeneracy import DetectionMethod, HandlingMethod
-    from dcreg_tpu.ops.block_sparse import build_map_index, morton_argsort
+    from dcreg_tpu.ops.block_sparse import (build_map_index,
+                                            kd_block_order)
     from dcreg_tpu.ops import se3
 
     extent = max(60.0, (MAP_POINTS / 1500.0) ** 0.5)  # ~density-stable
     world = _synthetic_map(MAP_POINTS, extent)
-    world = world[morton_argsort(world)]
+    # kd-leaf order: every 128-point block is a compact box (a Morton
+    # seam block would span the map and set the slot capacity)
+    world = world[kd_block_order(world, 128)]
     mindex = build_map_index(world, dtype=jnp.float32, tb=128, sb=64)
 
     # GT pose in the interior; 5k-pt body-frame scan from map points.
@@ -240,7 +247,7 @@ def bench_map(out):
     T_gt[:3, :3] = Rg
     T_gt[:3, 3] = center
     scan = ((scan_w - center) @ Rg).astype(np.float32)
-    scan = scan[morton_argsort(scan)]
+    scan = scan[kd_block_order(scan, 128)]
 
     params = ICPParams()
     # odometry-prior-grade initial error: ~1 deg yaw, ~0.3 m translation

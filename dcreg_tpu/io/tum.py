@@ -125,6 +125,39 @@ def rpe(est_poses, gt_poses, delta: int = 1):
     return np.asarray(rot_err), np.asarray(trans_err)
 
 
+def map_accuracy(scans, est_poses, map_xyz, max_dist: float = 1.0,
+                 sample: int = 200_000, seed: int = 0):
+    """MapEval-style "AC" map accuracy: aggregate every scan transformed
+    by its ESTIMATED pose, and measure the mean/RMSE nearest-neighbor
+    distance to the reference map (the reference's external MapEval
+    step, results/.../table8_ablation_study/README.MD "AC" column).
+
+    scans: (F, N, 3) body-frame frames (or list of (Ni, 3)); est_poses:
+    (F, 4, 4); map_xyz: (M, 3).  Distances above ``max_dist`` are
+    clamped (MapEval's inlier convention); ``sample`` bounds the
+    aggregated cloud for tractable host-side evaluation.  Pure
+    numpy/scipy -- host tooling."""
+    from scipy.spatial import cKDTree
+
+    est_poses = np.asarray(est_poses)
+    pts = []
+    for scan, T in zip(scans, est_poses):
+        scan = np.asarray(scan)
+        pts.append(scan @ T[:3, :3].T + T[:3, 3])
+    agg = np.concatenate(pts, axis=0)
+    if agg.shape[0] > sample:
+        rng = np.random.default_rng(seed)
+        agg = agg[rng.choice(agg.shape[0], sample, replace=False)]
+    tree = cKDTree(np.asarray(map_xyz))
+    d, _ = tree.query(agg, k=1)
+    d = np.minimum(d, max_dist)
+    return dict(ac_mean=float(d.mean()),
+                ac_rmse=float(np.sqrt((d ** 2).mean())),
+                ac_median=float(np.median(d)),
+                inlier_frac=float((d < max_dist).mean()),
+                points=int(agg.shape[0]))
+
+
 def registration_recall(est_poses, gt_poses, rre_thresh_deg: float = 5.0,
                         rte_thresh_m: float = 0.2):
     """Per-frame recall vs GT (supp.pdf II-B: RRE < 5 deg AND RTE < 0.2 m),

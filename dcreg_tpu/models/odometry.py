@@ -62,6 +62,7 @@ class OdometryResult(NamedTuple):
     degenerate_mask: jax.Array  # (F, 6) bool
     cond_schur_rot: jax.Array   # (F,)
     cond_schur_trans: jax.Array  # (F,)
+    cond_full: jax.Array        # (F,)
 
 
 def _register_to_map(scan, scan_valid, grid: VoxelGrid, R0, t0, det, hand,
@@ -153,19 +154,19 @@ def _odometry_impl(frames, frames_valid, grid: VoxelGrid, T0, det, hand,
             scan, scan_valid, grid, R_pred, t_pred, det, hand, params)
         out = (se3.se3_matrix(R, t), iters, conv, rmse, fitness,
                n_valid, ana.is_degenerate, ana.degenerate_mask,
-               ana.cond_schur_rot, ana.cond_schur_trans)
+               ana.cond_schur_rot, ana.cond_schur_trans, ana.cond_full)
         return (R, t, R_prev, t_prev), out
 
     init = (R_init.astype(dtype), t_init.astype(dtype),
             R_init.astype(dtype), t_init.astype(dtype))
     _, outs = jax.lax.scan(step, init, (frames, frames_valid))
     (poses, iters, conv, rmse, fitness, n_valid, is_deg, mask,
-     cs_rot, cs_trans) = outs
+     cs_rot, cs_trans, c_full) = outs
     return OdometryResult(poses=poses, iterations=iters, converged=conv,
                           rmse=rmse, fitness=fitness,
                           effective_points=n_valid, is_degenerate=is_deg,
                           degenerate_mask=mask, cond_schur_rot=cs_rot,
-                          cond_schur_trans=cs_trans)
+                          cond_schur_trans=cs_trans, cond_full=c_full)
 
 
 def run_odometry(frames, map_xyz, T0=None, detection="SCHUR_CONDITION_NUMBER",

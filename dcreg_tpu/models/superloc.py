@@ -102,11 +102,11 @@ def _observability_histogram(p_w, normal, valid, R):
     hist = jnp.zeros(9, jnp.int32)
     for a in range(3):
         sel = (best_axis == a).astype(jnp.int32) * v
-        hist = hist.at[2 * a].add(jnp.sum(sel))       # +axis bin
-        hist = hist.at[2 * a + 1].add(jnp.sum(sel))   # -axis bin (tie pair)
+        hist = hist.at[2 * a].add(jnp.sum(sel).astype(jnp.int32))
+        hist = hist.at[2 * a + 1].add(jnp.sum(sel).astype(jnp.int32))  # tie pair
     for a in range(3):
         sel = (best_trans == a).astype(jnp.int32) * v
-        hist = hist.at[6 + a].add(jnp.sum(sel))
+        hist = hist.at[6 + a].add(jnp.sum(sel).astype(jnp.int32))
     del rot_q
     return hist
 
@@ -216,7 +216,8 @@ def superloc_register(source_xyz, target_xyz, R0, t0,
     wf, _ = linalg.symmetric_eigh(H_final)
     log = log._replace(
         executed=log.executed.at[0].set(True),
-        effective_points=log.effective_points.at[0].set(inliers),
+        effective_points=log.effective_points.at[0].set(
+            inliers.astype(jnp.int32)),
         rmse=log.rmse.at[0].set(rmse),
         fitness=log.fitness.at[0].set(fitness),
         objective=log.objective.at[0].set(0.5 * jnp.sum(r_masked ** 2)),

@@ -74,6 +74,40 @@ def morton_argsort(points) -> np.ndarray:
 BIG = 3.0e38   # sentinel coordinate: any distance to it exceeds every gate
 
 
+def kd_block_order(points, block: int = 128) -> np.ndarray:
+    """Permutation grouping points into spatially COMPACT ``block``-point
+    runs via recursive median splits (balanced kd-tree leaves, host).
+
+    A Morton sort keeps most runs compact but any run straddling a
+    Z-order seam spans the whole cloud -- and the map-scale kernel's
+    slot capacity (and the sharded path's num_blocks) is set by the
+    WORST run.  Median splits have no seams: every leaf is a box.
+    Splits land on multiples of ``block`` so all leaves except the last
+    are exactly ``block`` points (block boundaries stay aligned for
+    build_block_index / the QB=128 query view)."""
+    pts = np.asarray(points, np.float64)
+    n = pts.shape[0]
+    out = np.empty(n, np.int64)
+    pos = 0
+    # explicit stack, left child pushed last -> processed first (DFS),
+    # so the single partial leaf lands at the very end
+    stack = [np.arange(n)]
+    while stack:
+        idx = stack.pop()
+        if idx.size <= block:
+            out[pos:pos + idx.size] = idx
+            pos += idx.size
+            continue
+        p = pts[idx]
+        ax = int(np.argmax(p.max(axis=0) - p.min(axis=0)))
+        nb = idx.size // block
+        k = (nb // 2) * block if nb >= 2 else block
+        part = np.argpartition(p[:, ax], k)
+        stack.append(idx[part[k:]])
+        stack.append(idx[part[:k]])
+    return out
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("blocks", "valid", "lo", "hi"),

@@ -39,9 +39,15 @@ def main():
     ap.add_argument("est")
     ap.add_argument("--delta", type=int, default=1, help="RPE frame delta")
     ap.add_argument("--max-dt", type=float, default=0.02)
+    ap.add_argument("--scans", default=None,
+                    help="(F, N, 3) .npy of body-frame frames -> adds the "
+                         "MapEval-style AC map-accuracy block (needs --map)")
+    ap.add_argument("--map", dest="map_path", default=None,
+                    help="(M, 3) .npy reference map for --scans")
     args = ap.parse_args()
 
-    from dcreg_tpu.io.tum import (ate, load_tum, registration_recall, rpe)
+    from dcreg_tpu.io.tum import (ate, load_tum, map_accuracy,
+                                  registration_recall, rpe)
 
     ts_gt, P_gt = load_tum(args.gt)
     ts_est, P_est = load_tum(args.est)
@@ -55,7 +61,7 @@ def main():
     a_raw = ate(est, gt, align=False)
     rre, rte = rpe(est, gt, delta=args.delta)
     recall, _ = registration_recall(est, gt)
-    print(json.dumps({
+    out = {
         "frames": int(len(ig)),
         "ate_rmse_m": a_aligned["rmse"],
         "ate_mean_m": a_aligned["mean"],
@@ -64,7 +70,12 @@ def main():
         "rpe_rot_mean_deg": float(rre.mean()) if len(rre) else None,
         "rpe_trans_mean_m": float(rte.mean()) if len(rte) else None,
         "registration_recall": recall,
-    }, indent=2))
+    }
+    if args.scans and args.map_path:
+        scans = np.load(args.scans)
+        map_xyz = np.load(args.map_path)
+        out["map_accuracy"] = map_accuracy(scans[ie], P_est[ie], map_xyz)
+    print(json.dumps(out, indent=2))
     return 0
 
 

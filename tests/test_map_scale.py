@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import pytest
 
 from dcreg_tpu.ops.block_sparse import (build_block_index, build_map_index,
-                                        morton_argsort)
+                                        kd_block_order, morton_argsort)
 from dcreg_tpu.ops.pallas_block_knn import (QB, TB, batched_block_knn,
                                             hier_relevance,
                                             make_pair_list_slotted,
@@ -187,11 +187,11 @@ class TestSlottedKernelMapScale:
                                    atol=1e-5)
 
     def test_batched_engine_200k_map_converges(self):
-        """End-to-end: 800-pt scan vs 200k-pt map, B=2 lanes, map mode."""
+        """End-to-end: 800-pt scan vs 200k-pt map, B=2 lanes, map mode,
+        kd-leaf block layout (the seam-free production ordering)."""
         M = 200_000
         world = _terrain(M)
-        perm = morton_argsort(world)
-        world = world[perm]
+        world = world[kd_block_order(world, 128)]
         center = np.array([5.0, -3.0, 0.5])
         near = world[np.linalg.norm(world - center, axis=1) < 12.0]
         scan_w = near[RNG.choice(near.shape[0], 800, replace=False)]
@@ -199,7 +199,8 @@ class TestSlottedKernelMapScale:
         T_gt[:3, :3] = _euler(0.0, 0.0, 0.01)
         T_gt[:3, 3] = center
         scan = ((scan_w - T_gt[:3, 3]) @ T_gt[:3, :3]).astype(np.float32)
-        scan = scan[morton_argsort(scan)]
+        # kd-leaf order: no query block straddles a space-filling seam
+        scan = scan[kd_block_order(scan, 128)]
 
         mindex = build_map_index(world, dtype=jnp.float32, tb=128, sb=16)
         params = ICPParams(max_iterations=15)

@@ -246,7 +246,11 @@ def bench_map(out):
     T_gt = np.eye(4, dtype=np.float32)
     T_gt[:3, :3] = Rg
     T_gt[:3, 3] = center
-    scan = ((scan_w - center) @ Rg).astype(np.float32)
+    # 3 mm sensor noise: a noiseless scan (exact subset of the map) has a
+    # non-smooth optimum at the fixed-point quantization scale and stalls
+    # convergence at mm level; real scans are noisy
+    scan = ((scan_w - center) @ Rg
+            + rng.normal(0, 0.003, scan_w.shape)).astype(np.float32)
     scan = scan[kd_block_order(scan, 128)]
 
     params = ICPParams()

@@ -254,9 +254,13 @@ def bench_map(out):
     scan = scan[kd_block_order(scan, 128)]
 
     params = ICPParams()
-    # odometry-prior-grade initial error: ~1 deg yaw, ~0.3 m translation
-    nominal = np.array([np.deg2rad(0.2), np.deg2rad(0.2), np.deg2rad(1.0),
-                        0.15, 0.25, 0.1])
+    # odometry-prior-grade initial error (~0.3 deg / ~6 cm): a
+    # localization loop seeds each frame from the motion model, cm-level
+    # off (the regime of the reference's per-frame Tables II/III times;
+    # a dense map's plane fits have a small per-iteration capture range,
+    # so meter-level errors are a relocalization problem, not this one)
+    nominal = np.array([np.deg2rad(0.1), np.deg2rad(0.1), np.deg2rad(0.3),
+                        0.03, 0.05, 0.02])
     rng2 = np.random.default_rng(3)
     pert = nominal[None, :] * rng2.uniform(0.9, 1.1, (MAP_BATCH, 6))
     R0s = jnp.stack([
@@ -266,12 +270,12 @@ def bench_map(out):
 
     poses_np = [(np.asarray(R0s[i], np.float64), np.asarray(t0s[i]))
                 for i in range(MAP_BATCH)]
-    # iteration-0 cull bound: initial pose error <= ~0.35 m trans +
-    # 1 deg * 6 m lever ~ 0.45 m, plus d5(converged) ~ 0.1 m at map
-    # density -- 0.6 m upper-bounds every query's initial 5th-NN
+    # iteration-0 cull bound: initial pose error <= ~0.07 m trans +
+    # 0.3 deg * 6 m lever ~ 0.03 m, plus d5(converged) ~ 0.1 m at map
+    # density -- 0.3 m upper-bounds every query's initial 5th-NN
     # distance, so culling at it is exact (see icp_batch_so3 docstring);
     # the 1.0 m correspondence gate itself is unchanged
-    R_CULL0 = 0.6
+    R_CULL0 = 0.3
     S, G, P = estimate_map_capacities(mindex, scan, poses_np, R_CULL0)
 
     world_j = jnp.asarray(world)

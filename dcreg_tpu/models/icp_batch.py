@@ -134,7 +134,9 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
                 rel, num_pairs, max_per_query, block_ids=block_ids,
                 nbt=bi.num_blocks)
             overflow = ovf + run_ovf + sup_ovf
-            lmask = pack_lane_mask(rel_l, qid, col)
+            # B=1 (odometry frame chains): every listed pair belongs to
+            # the only lane -- skip the mask scatter/gather entirely
+            lmask = pack_lane_mask(rel_l, qid, col) if B > 1 else None
             knn_kwargs = dict(slot=slot, tid_table=table,
                               max_per_query=max_per_query)
         else:
@@ -143,7 +145,7 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
             rel_l = rel_l & active[:, None, None]
             rel = jnp.any(rel_l, axis=0)
             qid, tid, overflow = make_pair_list(rel, num_pairs)
-            lmask = pack_lane_mask(rel_l, qid, tid)
+            lmask = pack_lane_mask(rel_l, qid, tid) if B > 1 else None
         poses12 = jnp.concatenate([Rs.reshape(B, 9), ts], axis=1)
         vals, idx = batched_block_knn(bi, src_blocks,
                                       poses12.astype(jnp.float32),

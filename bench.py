@@ -313,9 +313,9 @@ def bench_map(out):
             return jnp.sum(o.t) * 0.0
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
-    t2 = _timeit(chain, r1, t1, 2, reps=5)
-    t6 = _timeit(chain, r1, t1, 6, reps=5)
-    ms_frame = (t6 - t2) / 4 * 1e3
+    t2 = _timeit(chain, r1, t1, 2, reps=8)
+    t10 = _timeit(chain, r1, t1, 10, reps=8)
+    ms_frame = (t10 - t2) / 8 * 1e3
 
     acc_ok = bool((te.mean() < 0.05) and (re.mean() < 0.5)
                   and conv.all())

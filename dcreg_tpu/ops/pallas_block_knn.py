@@ -348,45 +348,43 @@ def make_pair_list_slotted(rel, num_pairs: int, max_per_query: int,
     nq, C = rel.shape
     if nbt is None:
         nbt = C
-    # sort-free compaction: flat (row-major) order IS qid-sorted order,
-    # so a row-wise cumsum gives each pair's slot and a flat cumsum its
-    # output position -- one pass + scatters instead of an O(n log n)
-    # device sort of nq*C keys every ICP iteration
-    slot_m = jnp.cumsum(rel.astype(jnp.int32), axis=1) - 1     # (nq, C)
-    keep = rel & (slot_m < max_per_query)
-    kf = keep.reshape(-1)
-    pos = jnp.cumsum(kf.astype(jnp.int32)) - 1                 # (nq*C,)
-    total_keep = jnp.maximum(pos[-1] + 1, 0)
+    sentinel = jnp.int32(nq * C)
+    flat = jnp.arange(nq * C, dtype=jnp.int32)
+    keys = jnp.where(rel.reshape(-1), flat, sentinel)
+    keys = jnp.sort(keys)
+    if num_pairs > keys.shape[0]:
+        keys = jnp.concatenate([keys, jnp.full(num_pairs - keys.shape[0],
+                                               sentinel, jnp.int32)])
+    keys = keys[:num_pairs]
+    is_pad = keys >= sentinel
+    qid_r = jnp.where(is_pad, nq, keys // C).astype(jnp.int32)
+    col_r = jnp.where(is_pad, 0, keys % C).astype(jnp.int32)
 
-    qid_m = jax.lax.broadcasted_iota(jnp.int32, (nq, C), 0).reshape(-1)
-    col_m = jax.lax.broadcasted_iota(jnp.int32, (nq, C), 1).reshape(-1)
+    # slot = index within the (contiguous, qid-sorted) run
+    ar = jnp.arange(num_pairs, dtype=jnp.int32)
+    prev_q = jnp.concatenate([jnp.full((1,), -1, jnp.int32), qid_r[:-1]])
+    run_start = jax.lax.cummax(jnp.where(qid_r != prev_q, ar, 0))
+    slot_r = ar - run_start
+    drop = (~is_pad) & (slot_r >= max_per_query)
+
     if block_ids is None:
-        tid_m = col_m
+        tid_r = col_r
     else:
-        tid_m = block_ids.reshape(-1).astype(jnp.int32)
-    slot_f = slot_m.reshape(-1)
+        tid_r = block_ids[qid_r % nq, col_r].astype(jnp.int32)
+    dead = is_pad | drop
+    qid = jnp.where(dead, nq, qid_r)
+    tid = jnp.where(dead, nbt, tid_r)
+    slot = jnp.where(dead, 0, slot_r)
+    col = jnp.where(dead, 0, col_r)
 
-    # scatter kept pairs to their rank; dropped/overflow write nowhere
-    tgt_pos = jnp.where(kf & (pos < num_pairs), pos, num_pairs)
-    qid = jnp.full(num_pairs + 1, nq, jnp.int32) \
-        .at[tgt_pos].set(qid_m, mode="drop")[:num_pairs]
-    tid = jnp.full(num_pairs + 1, nbt, jnp.int32) \
-        .at[tgt_pos].set(tid_m, mode="drop")[:num_pairs]
-    slot = jnp.zeros(num_pairs + 1, jnp.int32) \
-        .at[tgt_pos].set(slot_f, mode="drop")[:num_pairs]
-    col = jnp.zeros(num_pairs + 1, jnp.int32) \
-        .at[tgt_pos].set(col_m, mode="drop")[:num_pairs]
-
-    # (nq, max_per_query) slot -> target block, scattered directly from
-    # the kept matrix entries (trash row nq sliced off)
-    tq = jnp.where(keep, qid_m.reshape(nq, C), nq)
+    # (nq, max_per_query) slot -> target block; dead pairs scatter into a
+    # trash row that is sliced off
     tbl = jnp.zeros((nq + 1, max_per_query), jnp.int32)
-    tbl = tbl.at[tq, jnp.where(keep, slot_m, 0)].set(
-        jnp.where(keep, tid_m.reshape(nq, C), 0), mode="drop")
+    tbl = tbl.at[qid, slot].set(tid, mode="drop")
 
     total = jnp.sum(rel.astype(jnp.int32))
-    overflow = jnp.maximum(total_keep - num_pairs, 0)
-    run_overflow = total - jnp.sum(keep.astype(jnp.int32))
+    overflow = jnp.maximum(total - num_pairs, 0)
+    run_overflow = jnp.sum(drop.astype(jnp.int32))
     return qid, tid, slot, col, tbl[:nq], overflow, run_overflow
 
 

@@ -300,13 +300,17 @@ def bench_map(out):
     conv = np.asarray(res.converged)
 
     r1, t1 = R0s[:1], t0s[:1]
+    # the latency chain matches the reference's localization-loop
+    # semantics (Table II per-frame times carry no full-spectrum
+    # per-iteration logging); the stats batch above keeps telemetry on
+    pm_chain = params._replace(full_telemetry=False)
 
     @jax.jit
     def chain(R0s_, t0s_, reps):
         def body(i, acc):
             o = icp_batch_so3(scan_j, world_j, R0s_ * (1.0 + 0.0 * acc),
                               t0s_, DetectionMethod.SCHUR_CONDITION_NUMBER,
-                              HandlingMethod.PRECONDITIONED_CG, params,
+                              HandlingMethod.PRECONDITIONED_CG, pm_chain,
                               mindex, P, T_gt=T_gt_j, num_supers=S,
                               max_per_query=G,
                               initial_cull_radius=R_CULL0)

@@ -348,44 +348,48 @@ def make_pair_list_slotted(rel, num_pairs: int, max_per_query: int,
     nq, C = rel.shape
     if nbt is None:
         nbt = C
-    sentinel = jnp.int32(nq * C)
-    flat = jnp.arange(nq * C, dtype=jnp.int32)
-    keys = jnp.where(rel.reshape(-1), flat, sentinel)
+    G = max_per_query
+    total = jnp.sum(rel.astype(jnp.int32))
+
+    # stage 1: ROW-WISE compaction -- a batch of nq independent length-C
+    # sorts is far shallower (and parallel) than one global nq*C sort,
+    # and it directly yields the per-run slots and the slot table with
+    # no scatter (TPU scatters serialize; measured slower)
+    colkey = jnp.where(rel,
+                       jax.lax.broadcasted_iota(jnp.int32, (nq, C), 1),
+                       jnp.int32(C))
+    cols = jnp.sort(colkey, axis=1)[:, :G]                   # (nq, G)
+    valid = cols < C
+    cols_c = jnp.where(valid, cols, 0)
+    if block_ids is None:
+        tidm = cols_c
+    else:
+        tidm = jnp.take_along_axis(block_ids.astype(jnp.int32),
+                                   cols_c, axis=1)
+    tbl = jnp.where(valid, tidm, 0)                          # (nq, G)
+    run_overflow = total - jnp.sum(valid.astype(jnp.int32))
+
+    # stage 2: tiny global compaction of the (nq, G) grid into P slots;
+    # ascending flat index == (qid, slot) lexicographic -> runs stay
+    # contiguous and qid-sorted
+    sentinel = jnp.int32(nq * G)
+    flat = jnp.arange(nq * G, dtype=jnp.int32)
+    keys = jnp.where(valid.reshape(-1), flat, sentinel)
     keys = jnp.sort(keys)
     if num_pairs > keys.shape[0]:
         keys = jnp.concatenate([keys, jnp.full(num_pairs - keys.shape[0],
                                                sentinel, jnp.int32)])
     keys = keys[:num_pairs]
     is_pad = keys >= sentinel
-    qid_r = jnp.where(is_pad, nq, keys // C).astype(jnp.int32)
-    col_r = jnp.where(is_pad, 0, keys % C).astype(jnp.int32)
+    keys_c = jnp.minimum(keys, sentinel - 1)
+    qid = jnp.where(is_pad, nq, keys_c // G).astype(jnp.int32)
+    slot = jnp.where(is_pad, 0, keys_c % G).astype(jnp.int32)
+    col = jnp.where(is_pad, 0, cols_c.reshape(-1)[keys_c])
+    tid = jnp.where(is_pad, nbt, tidm.reshape(-1)[keys_c])
 
-    # slot = index within the (contiguous, qid-sorted) run
-    ar = jnp.arange(num_pairs, dtype=jnp.int32)
-    prev_q = jnp.concatenate([jnp.full((1,), -1, jnp.int32), qid_r[:-1]])
-    run_start = jax.lax.cummax(jnp.where(qid_r != prev_q, ar, 0))
-    slot_r = ar - run_start
-    drop = (~is_pad) & (slot_r >= max_per_query)
-
-    if block_ids is None:
-        tid_r = col_r
-    else:
-        tid_r = block_ids[qid_r % nq, col_r].astype(jnp.int32)
-    dead = is_pad | drop
-    qid = jnp.where(dead, nq, qid_r)
-    tid = jnp.where(dead, nbt, tid_r)
-    slot = jnp.where(dead, 0, slot_r)
-    col = jnp.where(dead, 0, col_r)
-
-    # (nq, max_per_query) slot -> target block; dead pairs scatter into a
-    # trash row that is sliced off
-    tbl = jnp.zeros((nq + 1, max_per_query), jnp.int32)
-    tbl = tbl.at[qid, slot].set(tid, mode="drop")
-
-    total = jnp.sum(rel.astype(jnp.int32))
-    overflow = jnp.maximum(total - num_pairs, 0)
-    run_overflow = jnp.sum(drop.astype(jnp.int32))
-    return qid, tid, slot, col, tbl[:nq], overflow, run_overflow
+    kept = jnp.sum(valid.astype(jnp.int32))
+    overflow = jnp.maximum(kept - num_pairs, 0)
+    return qid, tid, slot, col, tbl, overflow, run_overflow
 
 
 def super_candidates(slo, shi, Rs, ts, mindex, r_cull, num_supers: int,

@@ -401,12 +401,8 @@ def super_candidates(slo, shi, Rs, ts, mindex, r_cull, num_supers: int,
     lane mask.  Returns (sup_sel (nq, S) int32, sup_ok (nq, S) bool,
     sup_overflow () int32 = #query blocks whose relevant-super count
     exceeded S)."""
-    rel = lane_relevance(slo, shi, Rs, ts, mindex.sup_lo, mindex.sup_hi,
-                         r_cull, per_lane=True)              # (B, nq, ns)
-    if active is not None:
-        rel = rel & active[:, None, None]
-    # rank supers by their best-over-lanes bbox gap (recomputed cheaply
-    # from the union: use any-lane relevance + lane-min gap)
+    # one gap computation serves both the relevance test and the
+    # nearest-S ranking
     m = Rs[:, None, :, :] * slo[None, :, None, :]
     M = Rs[:, None, :, :] * shi[None, :, None, :]
     qlo = jnp.sum(jnp.minimum(m, M), axis=-1) + ts[:, None, :]
@@ -414,7 +410,16 @@ def super_candidates(slo, shi, Rs, ts, mindex, r_cull, num_supers: int,
     gap = jnp.maximum(0.0,
                       jnp.maximum(qlo[:, :, None, :] - mindex.sup_hi,
                                   mindex.sup_lo - qhi[:, :, None, :]))
-    d2 = jnp.min(jnp.sum(gap * gap, axis=-1), axis=0)        # (nq, ns)
+    d2_l = jnp.sum(gap * gap, axis=-1)                       # (B, nq, ns)
+    r = jnp.asarray(r_cull)
+    if r.ndim == 1:
+        r = r[:, None, None]
+    elif r.ndim == 2:
+        r = r[:, :, None]
+    rel = d2_l <= r * r
+    if active is not None:
+        rel = rel & active[:, None, None]
+    d2 = jnp.min(d2_l, axis=0)                               # (nq, ns)
     any_rel = jnp.any(rel, axis=0)                           # (nq, ns)
     n_rel = jnp.sum(any_rel.astype(jnp.int32), axis=1)
     S = min(num_supers, mindex.num_supers)

@@ -276,7 +276,12 @@ def bench_map(out):
     # distance, so culling at it is exact (see icp_batch_so3 docstring);
     # the 1.0 m correspondence gate itself is unchanged
     R_CULL0 = 0.3
-    S, G, P = estimate_map_capacities(mindex, scan, poses_np, R_CULL0)
+    # frame chains additionally reuse ONE pair list per registration
+    # (computed at R_CULL0 + margin; in-jit motion guard -- see
+    # icp_batch_so3 reuse_pair_list); capacities must cover that radius
+    REUSE_MARGIN = 0.3
+    S, G, P = estimate_map_capacities(mindex, scan, poses_np,
+                                      R_CULL0 + REUSE_MARGIN)
 
     world_j = jnp.asarray(world)
     scan_j = jnp.asarray(scan)
@@ -313,7 +318,8 @@ def bench_map(out):
                               HandlingMethod.PRECONDITIONED_CG, pm_chain,
                               mindex, P, T_gt=T_gt_j, num_supers=S,
                               max_per_query=G,
-                              initial_cull_radius=R_CULL0)
+                              initial_cull_radius=R_CULL0,
+                              reuse_pair_list=REUSE_MARGIN)
             return jnp.sum(o.t) * 0.0
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 

@@ -56,14 +56,16 @@ class BatchICPResult(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("detection", "handling",
                                              "params", "num_pairs",
-                                             "num_supers", "max_per_query"))
+                                             "num_supers", "max_per_query",
+                                             "reuse_pair_list"))
 @precise
 def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
                   detection: DetectionMethod, handling: HandlingMethod,
                   params: ICPParams, index,
                   num_pairs: int, T_gt=None, num_supers: int = 0,
                   max_per_query: int = 0,
-                  initial_cull_radius=None) -> BatchICPResult:
+                  initial_cull_radius=None,
+                  reuse_pair_list: float = 0.0) -> BatchICPResult:
     """Run B registrations of one (source, target) pair to convergence.
 
     source_xyz (N, 3) Morton-sorted body-frame points; target_xyz (M, 3)
@@ -86,12 +88,22 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
     argument the adaptive cull uses between iterations.  This is what
     keeps the candidate set small when a scan meets a much denser map
     (the correspondence radius gate downstream is unchanged).
+
+    ``reuse_pair_list`` (map mode, B=1 only): when > 0, the block cull
+    and pair list run ONCE at the initial pose with radius
+    initial_cull_radius + reuse_pair_list and are reused by every
+    iteration.  Exact while 2x the accumulated pose motion stays within
+    the margin (a block relevant at iteration k is within
+    d5_k <= d5_0 + move of the current query bbox, which is within
+    d5_0 + 2*move of the initial one); the guard is checked in-jit and
+    a breach is reported through ``pair_overflow``.
     """
     map_mode = isinstance(index, MapIndex)
     mindex = index if map_mode else None
     bi = index.block if map_mode else index
     if map_mode:
         assert num_supers > 0 and max_per_query > 0
+    reuse = map_mode and reuse_pair_list > 0 and R0s.shape[0] == 1
     dtype = source_xyz.dtype
     B = R0s.shape[0]
     N = source_xyz.shape[0]
@@ -119,9 +131,33 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
     # that radius EXACTLY (every true 5-NN and the radius gate unchanged)
     pmax = jnp.sqrt(jnp.max(jnp.sum(source_xyz * source_xyz, axis=1)))
 
+    if reuse:
+        # one-time cull + pair list at the initial pose, inflated radius
+        r0v = radius if initial_cull_radius is None else initial_cull_radius
+        r_list = jnp.float32(r0v) + jnp.float32(reuse_pair_list)
+        sup_sel0, sup_ok0, sup_ovf0 = super_candidates(
+            slo, shi, R0s.astype(jnp.float32), t0s.astype(jnp.float32),
+            mindex, r_list, num_supers)
+        rel_l0, block_ids0 = hier_relevance(
+            slo, shi, R0s.astype(jnp.float32), t0s.astype(jnp.float32),
+            mindex, sup_sel0, sup_ok0, r_list)
+        rel0 = jnp.any(rel_l0, axis=0)
+        qid0, tid0, slot0, col0, table0, ovf0, run_ovf0 = \
+            make_pair_list_slotted(rel0, num_pairs, max_per_query,
+                                   block_ids=block_ids0, nbt=bi.num_blocks)
+        static_overflow = ovf0 + run_ovf0 + sup_ovf0
+        covered0 = jnp.any(rel0, axis=1)
+
     def one_iteration(Rs, ts, r_cull, active):
         knn_kwargs = {}
-        if map_mode:
+        if reuse:
+            qid, tid = qid0, tid0
+            overflow = jnp.asarray(0, jnp.int32)   # reported once at init
+            lmask = None
+            covered = covered0
+            knn_kwargs = dict(slot=slot0, tid_table=table0,
+                              max_per_query=max_per_query)
+        elif map_mode:
             # level-1 cull: nearest relevant supers per query block, then
             # level-0 cull over only their blocks -- no (nq, nbt) matrix
             sup_sel, sup_ok, sup_ovf = super_candidates(
@@ -137,6 +173,7 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
             # B=1 (odometry frame chains): every listed pair belongs to
             # the only lane -- skip the mask scatter/gather entirely
             lmask = pack_lane_mask(rel_l, qid, col) if B > 1 else None
+            covered = jnp.any(rel, axis=1)
             knn_kwargs = dict(slot=slot, tid_table=table,
                               max_per_query=max_per_query)
         else:
@@ -146,11 +183,12 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
             rel = jnp.any(rel_l, axis=0)
             qid, tid, overflow = make_pair_list(rel, num_pairs)
             lmask = pack_lane_mask(rel_l, qid, tid) if B > 1 else None
+            covered = jnp.any(rel, axis=1)
         poses12 = jnp.concatenate([Rs.reshape(B, 9), ts], axis=1)
         vals, idx = batched_block_knn(bi, src_blocks,
                                       poses12.astype(jnp.float32),
                                       qid, tid, num_pairs, radius=radius,
-                                      covered=jnp.any(rel, axis=1),
+                                      covered=covered,
                                       lane_mask=lmask, layout="kn",
                                       **knn_kwargs)
         # exact 5th-NN distance per (lane, query block); BIG where a block
@@ -179,7 +217,7 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
 
     # ---- pass 1: the joint optimization loop -----------------------------
     def body(state):
-        it, Rs, ts, conv, abt, iters, hist, ovf, r_cull = state
+        it, Rs, ts, conv, abt, iters, hist, ovf, r_cull, cum_move = state
         active = ~(conv | abt)
         sysm, dx, abort_now, overflow, d5bm = \
             one_iteration(Rs, ts, r_cull, active)
@@ -214,21 +252,31 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
         r_new = jnp.minimum(jnp.float32(radius),
                             d5bm + (1.05 * move + 0.01)[:, None])
         r_cull = jnp.where(active[:, None], r_new, r_cull)
+        cum_move = cum_move + jnp.where(active, move, 0.0)
         return (it + 1, Rs, ts, conv, abt, iters, hist,
-                jnp.maximum(ovf, overflow.astype(jnp.int32)), r_cull)
+                jnp.maximum(ovf, overflow.astype(jnp.int32)), r_cull,
+                cum_move)
 
     def cond(state):
         it, Rs, ts, conv, abt = state[:5]
         return (it < I) & ~jnp.all(conv | abt)
 
     r0 = radius if initial_cull_radius is None else initial_cull_radius
+    ovf_init = static_overflow if reuse else jnp.asarray(0, jnp.int32)
     state0 = (jnp.asarray(0, jnp.int32), R0s.astype(dtype),
               t0s.astype(dtype), jnp.zeros(B, bool), jnp.zeros(B, bool),
               jnp.zeros(B, jnp.int32), empty_hist(I, dtype, lead=(B,)),
-              jnp.asarray(0, jnp.int32),
-              jnp.full((B, nq), jnp.float32(r0), jnp.float32))
-    it, Rs, ts, conv, abt, iters, hist, ovf, _ = \
+              ovf_init.astype(jnp.int32),
+              jnp.full((B, nq), jnp.float32(r0), jnp.float32),
+              jnp.zeros(B, jnp.float32))
+    it, Rs, ts, conv, abt, iters, hist, ovf, _, cum_move = \
         jax.lax.while_loop(cond, body, state0)
+    if reuse:
+        # exactness guard: the static list covers iteration k only while
+        # 2x the accumulated motion stays inside the margin
+        breach = jnp.sum((2.0 * cum_move
+                          > jnp.float32(reuse_pair_list)).astype(jnp.int32))
+        ovf = ovf + breach
 
     last = jnp.maximum(iters - 1, 0)
     H_last = hist.H[jnp.arange(B), last]

@@ -229,3 +229,46 @@ class TestSlottedKernelMapScale:
         re = np.asarray([float(e[1]) for e in errs])
         assert (te < 0.05).all(), te
         assert (re < 0.5).all(), re
+
+
+    def test_reuse_pair_list_matches_per_iteration(self):
+        """B=1 static pair list (computed once at an inflated radius,
+        in-jit motion guard) equals the per-iteration cull path."""
+        rng = np.random.default_rng(77)    # own stream: the shared RNG
+        # state depends on test order
+        world = _terrain(60_000, extent=40.0)
+        world = world[kd_block_order(world, 128)]
+        center = np.array([8.0, -5.0, 0.5])
+        near = world[np.linalg.norm(world - center, axis=1) < 10.0]
+        scan_w = near[rng.choice(near.shape[0], 900, replace=False)]
+        T_gt = np.eye(4, dtype=np.float32)
+        T_gt[:3, 3] = center
+        scan = (scan_w - center).astype(np.float32)
+        scan = scan[kd_block_order(scan, 128)]
+
+        mindex = build_map_index(jnp.asarray(world), dtype=jnp.float32,
+                                 tb=128, sb=16)
+        params = ICPParams(max_iterations=20)
+        R0 = jnp.asarray(np.eye(3), jnp.float32)[None]
+        t0 = jnp.asarray(center[None] + [0.05, -0.04, 0.02], jnp.float32)
+        r0, margin = 0.35, 0.4
+        S, G, P = estimate_map_capacities(
+            mindex, scan, [(np.asarray(R0[0], np.float64),
+                            np.asarray(t0[0]))], r0 + margin)
+        common = dict(T_gt=jnp.asarray(T_gt), num_supers=S,
+                      max_per_query=G, initial_cull_radius=r0)
+        out_a = icp_batch_so3(jnp.asarray(scan), jnp.asarray(world), R0, t0,
+                              DetectionMethod.SCHUR_CONDITION_NUMBER,
+                              HandlingMethod.PRECONDITIONED_CG, params,
+                              mindex, P, **common)
+        out_b = icp_batch_so3(jnp.asarray(scan), jnp.asarray(world), R0, t0,
+                              DetectionMethod.SCHUR_CONDITION_NUMBER,
+                              HandlingMethod.PRECONDITIONED_CG, params,
+                              mindex, P, reuse_pair_list=margin, **common)
+        assert int(out_b.pair_overflow) == 0
+        assert bool(out_b.converged.all())
+        np.testing.assert_allclose(np.asarray(out_a.t), np.asarray(out_b.t),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out_a.R), np.asarray(out_b.R),
+                                   atol=1e-6)
+        assert int(out_a.iterations[0]) == int(out_b.iterations[0])

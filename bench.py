@@ -275,11 +275,11 @@ def bench_map(out):
     # density -- 0.3 m upper-bounds every query's initial 5th-NN
     # distance, so culling at it is exact (see icp_batch_so3 docstring);
     # the 1.0 m correspondence gate itself is unchanged
-    R_CULL0 = 0.3
+    R_CULL0 = 0.25
     # frame chains additionally reuse ONE pair list per registration
     # (computed at R_CULL0 + margin; in-jit motion guard -- see
     # icp_batch_so3 reuse_pair_list); capacities must cover that radius
-    REUSE_MARGIN = 0.3
+    REUSE_MARGIN = 0.2
     S, G, P = estimate_map_capacities(mindex, scan, poses_np,
                                       R_CULL0 + REUSE_MARGIN)
 

@@ -226,14 +226,19 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
         put = lambda dst, val: dst.at[:, it].set(
             jnp.where(jnp.reshape(active, (B,) + (1,) * (val.ndim - 1)),
                       val, dst[:, it]))
-        hist = Hist(R=put(hist.R, Rs), t=put(hist.t, ts),
-                    H=put(hist.H, sysm.H), g=put(hist.g, sysm.g),
-                    dx=put(hist.dx, dx),
-                    num_valid=put(hist.num_valid,
-                                  sysm.num_valid.astype(jnp.int32)),
-                    rmse=put(hist.rmse, sysm.rmse),
-                    fitness=put(hist.fitness, sysm.fitness),
-                    objective=put(hist.objective, sysm.objective))
+        if params.full_telemetry:
+            hist = Hist(R=put(hist.R, Rs), t=put(hist.t, ts),
+                        H=put(hist.H, sysm.H), g=put(hist.g, sysm.g),
+                        dx=put(hist.dx, dx),
+                        num_valid=put(hist.num_valid,
+                                      sysm.num_valid.astype(jnp.int32)),
+                        rmse=put(hist.rmse, sysm.rmse),
+                        fitness=put(hist.fitness, sysm.fitness),
+                        objective=put(hist.objective, sysm.objective))
+        else:
+            # speed runs consume only H (final covariance); skip the
+            # other per-iteration history writes
+            hist = hist._replace(H=put(hist.H, sysm.H))
         Rn, tn = jax.vmap(se3.boxplus)(Rs, ts, dx)
         upd = active & ~abort_now
         Rs = jnp.where(upd[:, None, None], Rn, Rs)

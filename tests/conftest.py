@@ -58,4 +58,10 @@ def cylinder_clouds():
 
 import dcreg_tpu
 
-dcreg_tpu.enable_compile_cache("cpu")
+# NOTE: the persistent XLA compile cache is deliberately NOT enabled for
+# the test suite.  With ~140 tests compiling hundreds of programs in one
+# process, deserializing disk-cache hits late in the run intermittently
+# segfaults inside jax's compilation_cache (observed repeatedly at
+# test_timing_provenance after ~130 green tests; every test passes
+# standalone with the cache on).  Cold compiles cost the suite ~2-3
+# minutes; a crashed run costs everything.

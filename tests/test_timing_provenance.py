@@ -7,6 +7,8 @@ every row so no synthetic value is silent.  Without it, rows are labeled
 uniform_estimate."""
 import csv
 import os
+import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -14,6 +16,28 @@ import pytest
 from dcreg_tpu.config import Config
 from dcreg_tpu.harness import TestRunner
 from dcreg_tpu.ops import se3
+
+# The engine-replay harness compiles ~30 extra programs; after ~130
+# suite tests (hundreds of compiled programs in one process) XLA's CPU
+# backend_compile intermittently SEGFAULTS on these compiles (observed
+# repeatedly at this file; every run passes standalone).  The real tests
+# therefore execute in a fresh subprocess.
+_CHILD = bool(os.environ.get("DCREG_PROV_CHILD"))
+child_only = pytest.mark.skipif(
+    not _CHILD, reason="runs inside the subprocess wrapper")
+
+
+def test_provenance_suite_in_subprocess(tmp_path):
+    if _CHILD:
+        pytest.skip("already in child")
+    env = dict(os.environ, DCREG_PROV_CHILD="1")
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", os.path.abspath(__file__), "-q"],
+        env=env, capture_output=True, text=True, timeout=1200,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, (
+        f"child rc={proc.returncode}\n--- stdout ---\n{proc.stdout[-3000:]}"
+        f"\n--- stderr ---\n{proc.stderr[-3000:]}")
 
 
 def _scene(m=1200, seed=0):
@@ -51,6 +75,7 @@ def _provenance(out):
     return by_method
 
 
+@child_only
 def test_stepped_timing_measures_every_engine(tmp_path):
     runner, out = _run(tmp_path, stepped=True)
     prov = _provenance(out)
@@ -65,6 +90,7 @@ def test_stepped_timing_measures_every_engine(tmp_path):
             assert np.std(times) > 0, m
 
 
+@child_only
 def test_default_mode_labels_estimates(tmp_path):
     runner, out = _run(tmp_path, stepped=False)
     prov = _provenance(out)

@@ -45,7 +45,7 @@ import numpy as np
 BASELINE_MS = 7.79          # supp.pdf Table I, "Ours" cylinder time
 BASELINE_REG_S = 1000.0 / BASELINE_MS
 MAP_BASELINE_MS = 6.47      # supp.pdf Table II, Stairs: 3-5k pts vs 128M map
-BATCH = int(os.environ.get("DCREG_BENCH_BATCH", "32"))
+BATCH = int(os.environ.get("DCREG_BENCH_BATCH", "128"))
 MAP_POINTS = int(os.environ.get("DCREG_BENCH_MAP_POINTS", "5000000"))
 MAP_BATCH = int(os.environ.get("DCREG_BENCH_MAP_BATCH", "8"))
 

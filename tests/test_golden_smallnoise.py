@@ -89,3 +89,25 @@ class TestSmallNoiseGolden:
             (name, re, g["Rot_Error_deg"])
         assert np.isclose(rmse, float(g["ICP_RMSE"]), atol=5e-4), \
             (name, rmse, g["ICP_RMSE"])
+
+
+    def test_xicp_matches_archive(self, cylinder_clouds, gold_rows):
+        """Archived XICP row: essentially exact recovery (TE 3.4e-6 m,
+        RE 1.3e-6 deg) in 2 iterations."""
+        from dcreg_tpu.models.xicp import xicp_register
+        _, target, _, _ = cylinder_clouds
+        src = jnp.asarray(target)
+        params = ICPParams(use_weight_derivative=False)
+        res = xicp_register(
+            src, src, jnp.eye(3, dtype=jnp.float64),
+            jnp.asarray([0.01, 0.01, 0.01], jnp.float64),
+            DetectionMethod.XICP_INEQUALITY, HandlingMethod.XICP_CONSTRAINT,
+            params, T_gt=jnp.eye(4, dtype=jnp.float64))
+        g = gold_rows["XICP"]
+        assert int(res.iterations) <= int(g["Iterations"]) + 1
+        last = int(res.iterations) - 1
+        te = float(res.log.trans_error[last])
+        re = float(res.log.rot_error_deg[last])
+        # near-exact recovery like the archive (micro-scale errors)
+        assert te < 1e-4, te
+        assert re < 1e-3, re

@@ -93,7 +93,7 @@ def _kernel(qid_ref, tid_ref, pid_ref, mask_ref, src_ref, tgt_ref, pose_ref,
     @pl.when(qid_ref[p] < nq)
     def _body():
         src = src_ref[0]                       # (3, QB)
-        tgt = tgt_ref[0]                       # (TB, 3)
+        tgt = tgt_ref[:]                       # (TB, 3) rank-2 window
         # candidate ids, packed into the low key bits: pid is the global
         # target block id (small maps) or the pair's slot within its query
         # block's run (two-level map-scale mode)
@@ -212,7 +212,9 @@ def batched_block_knn(index: BlockIndex, src_blocks, poses, qid, tid,
         pl.BlockSpec((1, 3, QB),
                      lambda p, qv, tv, *_: (jnp.minimum(qv[p], nq - 1), 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, TB, 3), lambda p, qv, tv, *_: (tv[p], 0, 0),
+        # rank-2 (TB, 3) window of the flat blocks array: block index
+        # tv[p] selects rows [tv[p]*TB, (tv[p]+1)*TB)
+        pl.BlockSpec((TB, 3), lambda p, qv, tv, *_: (tv[p], 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]

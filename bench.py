@@ -361,7 +361,9 @@ def main():
     try:
         bench_map(out)
     except Exception as e:      # map phase must not kill the headline
-        out["map_scale"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        import re
+        msg = re.sub(r"\x1b\[[0-9;]*m", "", f"{type(e).__name__}: {e}")
+        out["map_scale"] = {"error": msg[:800]}
     out["backend"] = jax.default_backend()
     print(json.dumps(out))
 

@@ -125,12 +125,13 @@ class BlockIndex:
     coordinates in padding slots, so consumers never re-mask or re-copy
     the (potentially multi-GB, map-scale) point array per iteration.
 
-    ``blocks`` is stored RANK-2, ((nbt + 1) * tb, 3): a rank-3
-    (nbt, tb, 3) array gets XLA's (8, 128) tiling on its last two dims,
-    lane-padding the minor 3 to 128 -- a hidden 42x HBM blowup (25.6 GB
-    for a 50M-point map).  Rank-2 (N, 3) lays out packed; block b is
-    rows [b * tb, (b + 1) * tb)."""
-    blocks: jax.Array     # ((nbt + 1) * tb, 3) sorted target, BIG at padding
+    ``blocks`` is stored COORDINATE-MAJOR, (nbt + 1, 3, tb): any layout
+    with the coordinate axis minor gets XLA's (8, 128) tiling with the
+    minor 3 lane-padded to 128 -- a hidden 42x HBM blowup (25.6 GB for
+    a 50M-point map, measured as a compile-time OOM).  With tb = 128 in
+    the lane dimension the pad factor is only 8/3 on the tiny coordinate
+    axis (50M points -> 1.6 GB)."""
+    blocks: jax.Array     # (nbt + 1, 3, tb) sorted target, BIG at padding
     valid: jax.Array      # (nbt, TB) bool, False at padding
     lo: jax.Array         # (nbt, 3) bbox over real points
     hi: jax.Array         # (nbt, 3)
@@ -154,7 +155,7 @@ def build_block_index(sorted_points, dtype=jnp.float32,
     lo = np.where(valid[..., None], blocks, np.inf).min(axis=1)
     hi = np.where(valid[..., None], blocks, -np.inf).max(axis=1)
     blocks = np.concatenate([blocks, np.full((1, tb, 3), big)])
-    blocks = blocks.reshape((nbt + 1) * tb, 3)
+    blocks = np.ascontiguousarray(blocks.transpose(0, 2, 1))
     return BlockIndex(blocks=jnp.asarray(blocks, dtype),
                       valid=jnp.asarray(valid),
                       lo=jnp.asarray(lo, dtype), hi=jnp.asarray(hi, dtype),
@@ -255,12 +256,11 @@ def block_knn(index: BlockIndex, query, radius: float, k: int = 5,
     slot_ok = jnp.isfinite(-neg)
     bsel = jnp.where(slot_ok, bsel, 0)
 
-    # ONE coarse gather of contiguous blocks (blocks are rank-2 flat;
-    # block b = rows [b*tb, (b+1)*tb))
+    # ONE coarse gather of contiguous blocks (coordinate-major storage)
     tb = index.tb
-    cidx = bsel[..., None] * tb + jnp.arange(tb, dtype=jnp.int32)
-    cand = index.blocks[cidx]                                # (nq, G, tb, 3)
+    cand = index.blocks[bsel].transpose(0, 1, 3, 2)          # (nq, G, tb, 3)
     cok = index.valid[bsel] & slot_ok[..., None]             # (nq, G, tb)
+    cidx = bsel[..., None] * tb + jnp.arange(tb, dtype=jnp.int32)
 
     C = G * tb
     cand = cand.reshape(nq, C, 3)

@@ -93,7 +93,9 @@ def _kernel(qid_ref, tid_ref, pid_ref, mask_ref, src_ref, tgt_ref, pose_ref,
     @pl.when(qid_ref[p] < nq)
     def _body():
         src = src_ref[0]                       # (3, QB)
-        tgt = tgt_ref[:]                       # (TB, 3) rank-2 window
+        # coordinate-major storage (3, TB) -> one small transpose per
+        # step puts targets back in sublanes for the (TB, QB) tiles
+        tgt = tgt_ref[0].T                     # (TB, 3)
         # candidate ids, packed into the low key bits: pid is the global
         # target block id (small maps) or the pair's slot within its query
         # block's run (two-level map-scale mode)
@@ -212,9 +214,7 @@ def batched_block_knn(index: BlockIndex, src_blocks, poses, qid, tid,
         pl.BlockSpec((1, 3, QB),
                      lambda p, qv, tv, *_: (jnp.minimum(qv[p], nq - 1), 0, 0),
                      memory_space=pltpu.VMEM),
-        # rank-2 (TB, 3) window of the flat blocks array: block index
-        # tv[p] selects rows [tv[p]*TB, (tv[p]+1)*TB)
-        pl.BlockSpec((TB, 3), lambda p, qv, tv, *_: (tv[p], 0),
+        pl.BlockSpec((1, 3, TB), lambda p, qv, tv, *_: (tv[p], 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]

@@ -52,6 +52,8 @@ class BatchICPResult(NamedTuple):
     covariance: jax.Array   # (B, 6, 6)
     log: object             # IterationLog with (B, I, ...) leaves
     pair_overflow: jax.Array  # () int32: max dropped pairs over iterations
+    H_last: jax.Array       # (B, 6, 6) final-iteration GN Hessian (for
+    #   downstream degeneracy telemetry without full_telemetry)
 
 
 @functools.partial(jax.jit, static_argnames=("detection", "handling",
@@ -298,19 +300,22 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
     cov = jax.vmap(lambda H, c: covariance_from_H(H, c, dtype))(H_last, conv)
     return BatchICPResult(R=Rs, t=ts, converged=conv, aborted=abt,
                           iterations=iters, covariance=cov, log=log,
-                          pair_overflow=ovf)
+                          pair_overflow=ovf, H_last=H_last)
 
 
 def estimate_map_capacities(mindex: MapIndex, source_xyz, poses_Rt,
                             radius: float, margin: float = 1.3,
-                            sup_margin: int = 2):
+                            sup_margin: int = 2,
+                            include_identity: bool = True):
     """Host-side static capacities for MAP-SCALE batch registration.
 
     Returns (num_supers, max_per_query, num_pairs): the level-1 cull
     width, the per-query-block slot capacity, and the pair-list capacity,
-    each the max over the given (R, t) pose samples plus identity, with
-    margin.  Chunked over query blocks so nothing materializes an
-    (nq, num_target_blocks) matrix for multi-hundred-M-point maps."""
+    each the max over the given (R, t) pose samples (plus identity unless
+    ``include_identity`` is False -- odometry frames are never queried at
+    the body-frame origin), with margin.  Chunked over query blocks so
+    nothing materializes an (nq, num_target_blocks) matrix for
+    multi-hundred-M-point maps."""
     src = np.asarray(source_xyz, np.float64)
     N = src.shape[0]
     nq = -(-N // QB)
@@ -322,7 +327,7 @@ def estimate_map_capacities(mindex: MapIndex, source_xyz, poses_Rt,
     slo_s = np.asarray(mindex.sup_lo, np.float64)
     shi_s = np.asarray(mindex.sup_hi, np.float64)
     r2 = radius * radius
-    samples = [(np.eye(3), np.zeros(3))] + [
+    samples = ([(np.eye(3), np.zeros(3))] if include_identity else []) + [
         (np.asarray(R), np.asarray(t)) for R, t in poses_Rt]
 
     sup_count = np.zeros(nq, np.int64)

@@ -16,6 +16,16 @@ unreleased.  This module provides that missing layer TPU-natively:
     conds) stack into trajectory telemetry for the TUM/evo toolchain
     (io/tum.py).
 
+Two engines share the frame-chain orchestration:
+
+  * ``run_odometry`` -- the voxel-grid path (ops/voxel_grid.py), fp64-able,
+    used by the CPU golden/parity tests and small maps;
+  * ``run_odometry_map`` -- the MAP-SCALE path: the two-level MapIndex +
+    slotted-kernel batched engine (models/icp_batch.py) with the B=1
+    ``reuse_pair_list`` fast path, run per frame inside the ``lax.scan``.
+    This is the production localization loop for the reference's
+    53M-241M-point prior maps (supp.pdf Tables II/III).
+
 Scale-out: for maps beyond one chip's HBM, combine with
 parallel/sharded.py's map axis (each chip holds a shard of the voxel grid
 and the all_gather candidate merge applies unchanged).
@@ -27,6 +37,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import se3
 from ..ops.correspondence import CorrespondenceParams, fit_planes
@@ -200,3 +211,158 @@ def run_odometry(frames, map_xyz, T0=None, detection="SCHUR_CONDITION_NUMBER",
                             valid=map_valid)
     return _odometry_impl(frames, frames_valid, grid,
                           jnp.asarray(T0, dtype), det, hand, params)
+
+
+# ---------------------------------------------------------------------------
+# Map-scale odometry: the real localization loop over a MapIndex
+# ---------------------------------------------------------------------------
+
+class MapOdometryResult(NamedTuple):
+    poses: jax.Array             # (F, 4, 4) world_T_body per frame
+    iterations: jax.Array        # (F,) int32
+    converged: jax.Array         # (F,) bool
+    aborted: jax.Array           # (F,) bool
+    pair_overflow: jax.Array     # (F,) int32 (cull/reuse-guard breaches)
+    is_degenerate: jax.Array     # (F,) bool   (from the final-iteration H)
+    degenerate_mask: jax.Array   # (F, 6) bool
+    cond_schur_rot: jax.Array    # (F,)
+    cond_schur_trans: jax.Array  # (F,)
+    cond_full: jax.Array         # (F,)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "detection", "handling", "params", "num_pairs", "num_supers",
+    "max_per_query", "initial_cull_radius", "reuse_margin",
+    "use_constant_velocity"))
+def _odometry_map_impl(frames, map_xyz, mindex, T0, detection, handling,
+                       params, num_pairs, num_supers, max_per_query,
+                       initial_cull_radius, reuse_margin,
+                       use_constant_velocity) -> MapOdometryResult:
+    from ..ops.degeneracy import analyze as analyze_enum
+    from .icp_batch import icp_batch_so3
+
+    R_init = T0[:3, :3].astype(frames.dtype)
+    t_init = T0[:3, 3].astype(frames.dtype)
+
+    def step(carry, scan):
+        R_prev, t_prev, R_prev2, t_prev2 = carry
+        if use_constant_velocity:
+            # T_pred = T_prev * (T_prev2^-1 * T_prev)
+            dR = R_prev2.T @ R_prev
+            dt = R_prev2.T @ (t_prev - t_prev2)
+            R_pred = R_prev @ dR
+            t_pred = R_prev @ dt + t_prev
+        else:
+            R_pred, t_pred = R_prev, t_prev
+        out = icp_batch_so3(scan, map_xyz, R_pred[None], t_pred[None],
+                            detection, handling, params, mindex, num_pairs,
+                            num_supers=num_supers,
+                            max_per_query=max_per_query,
+                            initial_cull_radius=initial_cull_radius,
+                            reuse_pair_list=reuse_margin)
+        R, t = out.R[0], out.t[0]
+        ana = analyze_enum(out.H_last[0], detection, params.thresholds)
+        outs = (se3.se3_matrix(R, t), out.iterations[0], out.converged[0],
+                out.aborted[0], out.pair_overflow.astype(jnp.int32),
+                ana.is_degenerate, ana.degenerate_mask,
+                ana.cond_schur_rot, ana.cond_schur_trans, ana.cond_full)
+        return (R, t, R_prev, t_prev), outs
+
+    init = (R_init, t_init, R_init, t_init)
+    _, outs = jax.lax.scan(step, init, frames)
+    (poses, iters, conv, abt, ovf, is_deg, mask, cs_rot, cs_trans,
+     c_full) = outs
+    return MapOdometryResult(poses=poses, iterations=iters, converged=conv,
+                             aborted=abt, pair_overflow=ovf,
+                             is_degenerate=is_deg, degenerate_mask=mask,
+                             cond_schur_rot=cs_rot, cond_schur_trans=cs_trans,
+                             cond_full=c_full)
+
+
+def estimate_odometry_capacities(mindex, frames, traj_hint, radius,
+                                 margin: float = 1.3, sup_margin: int = 2,
+                                 stride: int = 1):
+    """Static (num_supers, max_per_query, num_pairs) covering every frame
+    of an odometry run: the max of per-frame ``estimate_map_capacities``
+    over the hinted trajectory (an approximate prior -- GT, a previous
+    odometry pass, or integrated wheel/IMU odometry is all it needs; the
+    radius should already include the prediction-error bound)."""
+    from .icp_batch import estimate_map_capacities
+    S = G = P = 0
+    for f in range(0, len(frames), max(1, stride)):
+        # sample the frame's hint pose AND the previous one: a stalled
+        # motion model seeds frame f near frame f-1's pose, and the cull
+        # runs at the SEED -- capacities must cover both
+        T = np.asarray(traj_hint[f], np.float64)
+        Tp = np.asarray(traj_hint[max(f - 1, 0)], np.float64)
+        s, g, p = estimate_map_capacities(
+            mindex, frames[f],
+            [(T[:3, :3], T[:3, 3]), (Tp[:3, :3], Tp[:3, 3])], radius,
+            margin=margin, sup_margin=sup_margin, include_identity=False)
+        S, G, P = max(S, s), max(G, g), max(P, p)
+    return S, G, P
+
+
+def run_odometry_map(frames, mindex, map_xyz, T0=None,
+                     detection=None, handling=None, icp_params=None,
+                     num_supers: int = 0, max_per_query: int = 0,
+                     num_pairs: int = 0,
+                     initial_cull_radius: float = 0.3,
+                     reuse_margin: float = 0.2,
+                     use_constant_velocity: bool = True,
+                     traj_hint=None) -> MapOdometryResult:
+    """The REAL localization loop against a map-scale prior (supp.pdf
+    Tables II/III regime): per frame, a constant-velocity motion-model
+    seed + one B=1 map-mode DCReg registration (two-level cull + slotted
+    kernel + single reused pair list), all inside one ``lax.scan``.
+
+    frames: (F, N, 3) body-frame scans, EACH kd-block-sorted
+    (ops/block_sparse.kd_block_order -- use ``prepare_frames``);
+    map_xyz: (M, 3) the kd-block-sorted map the MapIndex was built over.
+    Capacities (num_supers/max_per_query/num_pairs) must cover every
+    frame at radius initial_cull_radius + reuse_margin; pass them from
+    ``estimate_odometry_capacities``, or pass ``traj_hint`` (F, 4, 4) to
+    have them estimated here.  ``initial_cull_radius`` must upper-bound
+    motion-model prediction error + the converged 5th-NN distance (the
+    per-frame exactness argument of icp_batch_so3); breaches surface in
+    ``pair_overflow``, not silent truncation.
+    """
+    from ..ops.degeneracy import DetectionMethod, HandlingMethod
+    from .icp import ICPParams
+    if detection is None:
+        detection = DetectionMethod.SCHUR_CONDITION_NUMBER
+    if handling is None:
+        handling = HandlingMethod.PRECONDITIONED_CG
+    if isinstance(detection, str):
+        detection = DetectionMethod[detection]
+    if isinstance(handling, str):
+        handling = HandlingMethod[handling]
+    if icp_params is None:
+        icp_params = ICPParams()
+    icp_params = icp_params._replace(full_telemetry=False)
+    frames = jnp.asarray(frames, jnp.float32)
+    map_xyz = jnp.asarray(map_xyz, jnp.float32)
+    if T0 is None:
+        T0 = jnp.eye(4, dtype=jnp.float32)
+    if num_supers <= 0 or max_per_query <= 0 or num_pairs <= 0:
+        assert traj_hint is not None, \
+            "pass capacities or traj_hint for host-side estimation"
+        num_supers, max_per_query, num_pairs = estimate_odometry_capacities(
+            mindex, np.asarray(frames), traj_hint,
+            initial_cull_radius + reuse_margin)
+    return _odometry_map_impl(frames, map_xyz, mindex,
+                              jnp.asarray(T0, jnp.float32), detection,
+                              handling, icp_params, int(num_pairs),
+                              int(num_supers), int(max_per_query),
+                              float(initial_cull_radius),
+                              float(reuse_margin),
+                              bool(use_constant_velocity))
+
+
+def prepare_frames(frames, block: int = 128) -> np.ndarray:
+    """kd-block-sort each body-frame scan (host, once per sequence)."""
+    from ..ops.block_sparse import kd_block_order
+    out = np.asarray(frames, np.float32).copy()
+    for f in range(out.shape[0]):
+        out[f] = out[f][kd_block_order(out[f], block)]
+    return out

@@ -65,6 +65,60 @@ def test_odometry_tracks_ground_truth():
     assert m["rmse"] < 0.03
 
 
+def test_odometry_map_mode_matches_voxel_path():
+    """run_odometry_map (MapIndex + slotted kernel + reuse_pair_list, the
+    production map-scale loop) tracks GT and matches the voxel-grid path
+    on the same sequence (VERDICT r4 item 2)."""
+    from dcreg_tpu.models.odometry import (estimate_odometry_capacities,
+                                           prepare_frames, run_odometry_map)
+    from dcreg_tpu.models.icp import ICPParams
+    from dcreg_tpu.ops.block_sparse import build_map_index, kd_block_order
+
+    world = _make_world()
+    world = world[kd_block_order(world, 128)]
+    gt = _gt_trajectory(6)
+    rng = np.random.default_rng(1)
+    N = 1500
+    frames = []
+    for T in gt:
+        sel = world[rng.choice(world.shape[0], N, replace=False)]
+        body = (sel - T[:3, 3]) @ T[:3, :3] + rng.normal(0, 0.004, (N, 3))
+        frames.append(body)
+    frames = np.asarray(frames, np.float32)
+
+    # voxel-grid reference run (f64)
+    res_v = run_odometry(jnp.asarray(frames, jnp.float64),
+                         jnp.asarray(world, jnp.float64),
+                         T0=jnp.asarray(gt[0], jnp.float64),
+                         params=OdometryParams(icp_iterations=8,
+                                               capacity=64))
+
+    # map-mode run: frame 1's constant-velocity seed is a full step off
+    # (no velocity yet), so the cull radius must cover its d5 and the
+    # reuse margin must cover 2x its correction INCLUDING the rotation
+    # lever arm (these scans span the whole 15 m world, so the 0.03 rad
+    # yaw step contributes ~0.6 m of rigid-motion bound; the in-jit guard
+    # reports any breach through pair_overflow)
+    mindex = build_map_index(world, tb=128, sb=8)
+    frames_s = prepare_frames(frames)
+    r0, margin = 0.85, 2.4
+    S, G, P = estimate_odometry_capacities(mindex, frames_s, gt, r0 + margin)
+    res_m = run_odometry_map(frames_s, mindex, world,
+                             T0=jnp.asarray(gt[0], jnp.float32),
+                             icp_params=ICPParams(max_iterations=12),
+                             num_supers=S, max_per_query=G, num_pairs=P,
+                             initial_cull_radius=r0, reuse_margin=margin)
+    assert int(np.asarray(res_m.pair_overflow).max()) == 0
+    assert bool(np.asarray(res_m.converged).all())
+    est_m = np.asarray(res_m.poses)
+    est_v = np.asarray(res_v.poses)
+    for i in range(len(gt)):
+        assert np.linalg.norm(est_m[i][:3, 3] - gt[i][:3, 3]) < 0.05
+        assert np.linalg.norm(est_m[i][:3, 3] - est_v[i][:3, 3]) < 0.03
+    m = ate(est_m, gt, align=False)
+    assert m["rmse"] < 0.03
+
+
 def test_pose_graph_closes_drift():
     """Odometry chain with drift + one loop-closure edge -> GN pulls the
     trajectory back to GT."""

@@ -154,10 +154,12 @@ def _odometry_impl(frames, frames_valid, grid: VoxelGrid, T0, det, hand,
         R_prev, t_prev, R_prev2, t_prev2 = carry
         scan, scan_valid = frame
         if params.use_constant_velocity:
-            # T_pred = T_prev * (T_prev2^-1 * T_prev)
+            # T_pred = T_prev * (T_prev2^-1 * T_prev); the composition
+            # SQUARES rounding-level non-orthonormality every frame, so
+            # project back onto SO(3) (see se3.orthonormalize)
             dR = R_prev2.T @ R_prev
             dt = R_prev2.T @ (t_prev - t_prev2)
-            R_pred = R_prev @ dR
+            R_pred = se3.orthonormalize(R_prev @ dR)
             t_pred = R_prev @ dt + t_prev
         else:
             R_pred, t_pred = R_prev, t_prev
@@ -228,29 +230,38 @@ class MapOdometryResult(NamedTuple):
     cond_schur_rot: jax.Array    # (F,)
     cond_schur_trans: jax.Array  # (F,)
     cond_full: jax.Array         # (F,)
+    rmse: jax.Array              # (F,) final-iteration weighted RMSE
+    fitness: jax.Array           # (F,) final-iteration in-radius fraction
+    effective_points: jax.Array  # (F,) int32
 
 
 @functools.partial(jax.jit, static_argnames=(
     "detection", "handling", "params", "num_pairs", "num_supers",
     "max_per_query", "initial_cull_radius", "reuse_margin",
     "use_constant_velocity"))
-def _odometry_map_impl(frames, map_xyz, mindex, T0, detection, handling,
-                       params, num_pairs, num_supers, max_per_query,
-                       initial_cull_radius, reuse_margin,
+def _odometry_map_impl(frames, map_xyz, mindex, T0, T_prev, detection,
+                       handling, params, num_pairs, num_supers,
+                       max_per_query, initial_cull_radius, reuse_margin,
                        use_constant_velocity) -> MapOdometryResult:
     from ..ops.degeneracy import analyze as analyze_enum
     from .icp_batch import icp_batch_so3
 
     R_init = T0[:3, :3].astype(frames.dtype)
     t_init = T0[:3, 3].astype(frames.dtype)
+    R_prev_init = T_prev[:3, :3].astype(frames.dtype)
+    t_prev_init = T_prev[:3, 3].astype(frames.dtype)
 
     def step(carry, scan):
         R_prev, t_prev, R_prev2, t_prev2 = carry
         if use_constant_velocity:
-            # T_pred = T_prev * (T_prev2^-1 * T_prev)
+            # T_pred = T_prev * (T_prev2^-1 * T_prev); the composition
+            # SQUARES rounding-level non-orthonormality every frame, so
+            # project back onto SO(3) (see se3.orthonormalize -- without
+            # this, det(R) decays to ~0.82 within ~16 f32 frames and the
+            # contracted scan wrecks every registration downstream)
             dR = R_prev2.T @ R_prev
             dt = R_prev2.T @ (t_prev - t_prev2)
-            R_pred = R_prev @ dR
+            R_pred = se3.orthonormalize(R_prev @ dR)
             t_pred = R_prev @ dt + t_prev
         else:
             R_pred, t_pred = R_prev, t_prev
@@ -265,18 +276,20 @@ def _odometry_map_impl(frames, map_xyz, mindex, T0, detection, handling,
         outs = (se3.se3_matrix(R, t), out.iterations[0], out.converged[0],
                 out.aborted[0], out.pair_overflow.astype(jnp.int32),
                 ana.is_degenerate, ana.degenerate_mask,
-                ana.cond_schur_rot, ana.cond_schur_trans, ana.cond_full)
+                ana.cond_schur_rot, ana.cond_schur_trans, ana.cond_full,
+                out.rmse[0], out.fitness[0], out.num_valid[0])
         return (R, t, R_prev, t_prev), outs
 
-    init = (R_init, t_init, R_init, t_init)
+    init = (R_init, t_init, R_prev_init, t_prev_init)
     _, outs = jax.lax.scan(step, init, frames)
     (poses, iters, conv, abt, ovf, is_deg, mask, cs_rot, cs_trans,
-     c_full) = outs
+     c_full, rmse, fitness, n_valid) = outs
     return MapOdometryResult(poses=poses, iterations=iters, converged=conv,
                              aborted=abt, pair_overflow=ovf,
                              is_degenerate=is_deg, degenerate_mask=mask,
                              cond_schur_rot=cs_rot, cond_schur_trans=cs_trans,
-                             cond_full=c_full)
+                             cond_full=c_full, rmse=rmse, fitness=fitness,
+                             effective_points=n_valid)
 
 
 def estimate_odometry_capacities(mindex, frames, traj_hint, radius,
@@ -310,7 +323,7 @@ def run_odometry_map(frames, mindex, map_xyz, T0=None,
                      initial_cull_radius: float = 0.3,
                      reuse_margin: float = 0.2,
                      use_constant_velocity: bool = True,
-                     traj_hint=None) -> MapOdometryResult:
+                     traj_hint=None, T_prev_init=None) -> MapOdometryResult:
     """The REAL localization loop against a map-scale prior (supp.pdf
     Tables II/III regime): per frame, a constant-velocity motion-model
     seed + one B=1 map-mode DCReg registration (two-level cull + slotted
@@ -325,7 +338,10 @@ def run_odometry_map(frames, mindex, map_xyz, T0=None,
     have them estimated here.  ``initial_cull_radius`` must upper-bound
     motion-model prediction error + the converged 5th-NN distance (the
     per-frame exactness argument of icp_batch_so3); breaches surface in
-    ``pair_overflow``, not silent truncation.
+    ``pair_overflow``, not silent truncation.  ``T_prev_init`` optionally
+    gives the pose one frame BEFORE T0 (known initial velocity), so the
+    constant-velocity model seeds frame 1 correctly instead of assuming
+    the platform starts at rest.
     """
     from ..ops.degeneracy import DetectionMethod, HandlingMethod
     from .icp import ICPParams
@@ -344,6 +360,8 @@ def run_odometry_map(frames, mindex, map_xyz, T0=None,
     map_xyz = jnp.asarray(map_xyz, jnp.float32)
     if T0 is None:
         T0 = jnp.eye(4, dtype=jnp.float32)
+    if T_prev_init is None:
+        T_prev_init = T0
     if num_supers <= 0 or max_per_query <= 0 or num_pairs <= 0:
         assert traj_hint is not None, \
             "pass capacities or traj_hint for host-side estimation"
@@ -351,8 +369,10 @@ def run_odometry_map(frames, mindex, map_xyz, T0=None,
             mindex, np.asarray(frames), traj_hint,
             initial_cull_radius + reuse_margin)
     return _odometry_map_impl(frames, map_xyz, mindex,
-                              jnp.asarray(T0, jnp.float32), detection,
-                              handling, icp_params, int(num_pairs),
+                              jnp.asarray(T0, jnp.float32),
+                              jnp.asarray(T_prev_init, jnp.float32),
+                              detection, handling, icp_params,
+                              int(num_pairs),
                               int(num_supers), int(max_per_query),
                               float(initial_cull_radius),
                               float(reuse_margin),

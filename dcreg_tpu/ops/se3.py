@@ -191,6 +191,29 @@ def boxplus_left(R, t, delta):
     return R_new, t_new
 
 
+def orthonormalize(R):
+    """Project a nearly-orthonormal matrix back onto SO(3) (Gram-Schmidt
+    on rows; batched over leading axes).
+
+    Rotation CHAINS need this: a constant-velocity motion model composes
+    R_prev @ R_prev2^T @ R_prev every frame, which SQUARES any scale /
+    shear error in the carried matrix, while boxplus only ever
+    right-multiplies by exact rotations -- nothing restores
+    orthonormality.  Starting from f32 rounding (~1e-7) the defect
+    compounds to det(R) ~ 0.82 within ~16 frames (measured on the
+    corridor chain: a 10 m scan contracted by ~30 cm, wrecking every
+    registration downstream).  One Gram-Schmidt per prediction pins the
+    defect at rounding level.  The reference never hits this because its
+    per-pair runs compose only a handful of f64 rotations."""
+    r0 = R[..., 0, :]
+    r0 = r0 / jnp.linalg.norm(r0, axis=-1, keepdims=True)
+    r1 = R[..., 1, :]
+    r1 = r1 - jnp.sum(r0 * r1, axis=-1, keepdims=True) * r0
+    r1 = r1 / jnp.linalg.norm(r1, axis=-1, keepdims=True)
+    r2 = jnp.cross(r0, r1)
+    return jnp.stack([r0, r1, r2], axis=-2)
+
+
 def adjoint(R, t):
     """Adjoint Ad(T) = [[R, [t]x R],[0, R]] (math_utils.hpp:181-196)."""
     tx = skew(t)

@@ -192,3 +192,47 @@ class TestPoseError:
         te, re = se3.pose_error(jnp.asarray(T_gt), T)
         np.testing.assert_allclose(float(te), np.sqrt(0.2**2 + 0.8**2 + 0.5**2), rtol=1e-9)
         np.testing.assert_allclose(float(re), 2.0, rtol=1e-9)
+
+
+class TestOrthonormalize:
+    def test_restores_rotation(self):
+        """Perturbed rotations (scale + shear, the motion-model compounding
+        defect) project back to SO(3); exact rotations are fixed points."""
+        rng = np.random.default_rng(3)
+        for _ in range(5):
+            R = np.asarray(se3.exp_so3(jnp.asarray(rng.normal(0, 1.0, 3))))
+            Ro = np.asarray(se3.orthonormalize(jnp.asarray(R)))
+            np.testing.assert_allclose(Ro, R, atol=1e-12)
+            E = rng.normal(0, 1e-3, (3, 3))
+            Rp = R * (1.0 - 2e-3) + E            # scale + shear defect
+            Ro = np.asarray(se3.orthonormalize(jnp.asarray(Rp)))
+            np.testing.assert_allclose(Ro @ Ro.T, np.eye(3), atol=1e-12)
+            np.testing.assert_allclose(np.linalg.det(Ro), 1.0, atol=1e-12)
+            assert np.abs(Ro - R).max() < 5e-3
+
+    def test_chain_compounding_regression(self):
+        """The constant-velocity composition R1 @ (R2^T @ R1) run for 40
+        steps in f32: WITHOUT projection det(R) drifts off 1, WITH it the
+        defect stays at rounding level (the corridor-chain bug)."""
+        rng = np.random.default_rng(5)
+        step = np.asarray(se3.exp_so3(jnp.asarray([0.0, 0.0, 0.03])),
+                          np.float32)
+        for project in (False, True):
+            R2 = np.eye(3, dtype=np.float32)
+            R1 = step.copy()
+            defects = []
+            for _ in range(40):
+                pred = (R1 @ (R2.T @ R1)).astype(np.float32)
+                if project:
+                    pred = np.asarray(
+                        se3.orthonormalize(jnp.asarray(pred)), np.float32)
+                # the registration right-multiplies a small exact rotation
+                upd = np.asarray(se3.exp_so3(
+                    jnp.asarray(rng.normal(0, 1e-4, 3))), np.float32)
+                R2, R1 = R1, (pred @ upd).astype(np.float32)
+                defects.append(abs(np.linalg.det(R1.astype(np.float64))
+                                   - 1.0))
+            if project:
+                assert max(defects) < 1e-5, max(defects)
+            else:
+                assert max(defects) > 1e-5   # the defect the fix removes

@@ -54,6 +54,9 @@ class BatchICPResult(NamedTuple):
     pair_overflow: jax.Array  # () int32: max dropped pairs over iterations
     H_last: jax.Array       # (B, 6, 6) final-iteration GN Hessian (for
     #   downstream degeneracy telemetry without full_telemetry)
+    rmse: jax.Array         # (B,) final-iteration weighted residual RMSE
+    fitness: jax.Array      # (B,) final-iteration in-radius fraction
+    num_valid: jax.Array    # (B,) int32 final-iteration effective points
 
 
 @functools.partial(jax.jit, static_argnames=("detection", "handling",
@@ -149,16 +152,46 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
                                    block_ids=block_ids0, nbt=bi.num_blocks)
         static_overflow = ovf0 + run_ovf0 + sup_ovf0
         covered0 = jnp.any(rel0, axis=1)
+        # static per-pair target bboxes for the per-iteration LIVE mask:
+        # the list is built once at r0 + margin, but iteration k only
+        # needs pairs within its adaptive radius r_cull (d5 + motion
+        # bound) -- the same exactness argument as the per-iteration
+        # cull, evaluated on the static list.  Padding pairs get a huge
+        # gap (never live; the kernel skips them by qid anyway).
+        pad0 = qid0 >= nq
+        tid_safe0 = jnp.where(pad0, 0, tid0)
+        p_tlo0 = jnp.where(pad0[:, None], jnp.float32(3e38),
+                           bi.lo[tid_safe0].astype(jnp.float32))
+        p_thi0 = jnp.where(pad0[:, None], jnp.float32(-3e38),
+                           bi.hi[tid_safe0].astype(jnp.float32))
+        qid_safe0 = jnp.where(pad0, 0, qid0)
 
     def one_iteration(Rs, ts, r_cull, active):
         knn_kwargs = {}
         if reuse:
             qid, tid = qid0, tid0
             overflow = jnp.asarray(0, jnp.int32)   # reported once at init
-            lmask = None
             covered = covered0
             knn_kwargs = dict(slot=slot0, tid_table=table0,
                               max_per_query=max_per_query)
+            # LIVE mask: this iteration only needs pairs whose bbox gap
+            # at the CURRENT pose is within the adaptive exact radius
+            # r_cull (d5 + rigid-motion bound) -- the static list covers
+            # r0 + margin, so later (tight-radius) iterations skip most
+            # of the kernel's compute steps
+            Rf = Rs.astype(jnp.float32)
+            tf = ts.astype(jnp.float32)
+            m = Rf[0, None, :, :] * slo[:, None, :]          # (nq, 3, 3)
+            M = Rf[0, None, :, :] * shi[:, None, :]
+            qlo = jnp.sum(jnp.minimum(m, M), axis=-1) + tf[0]
+            qhi = jnp.sum(jnp.maximum(m, M), axis=-1) + tf[0]
+            gap = jnp.maximum(0.0,
+                              jnp.maximum(qlo[qid_safe0] - p_thi0,
+                                          p_tlo0 - qhi[qid_safe0]))
+            d2p = jnp.sum(gap * gap, axis=-1)                # (P,)
+            rq = r_cull[0, qid_safe0]
+            live = (d2p <= rq * rq) & ~pad0
+            lmask = live.astype(jnp.int32)[:, None]          # (P, 1)
         elif map_mode:
             # level-1 cull: nearest relevant supers per query block, then
             # level-0 cull over only their blocks -- no (nq, nbt) matrix
@@ -238,9 +271,13 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
                         fitness=put(hist.fitness, sysm.fitness),
                         objective=put(hist.objective, sysm.objective))
         else:
-            # speed runs consume only H (final covariance); skip the
-            # other per-iteration history writes
-            hist = hist._replace(H=put(hist.H, sysm.H))
+            # speed runs consume only H (final covariance) and the
+            # scalar fit summaries; skip the other history writes
+            hist = hist._replace(
+                H=put(hist.H, sysm.H), rmse=put(hist.rmse, sysm.rmse),
+                fitness=put(hist.fitness, sysm.fitness),
+                num_valid=put(hist.num_valid,
+                              sysm.num_valid.astype(jnp.int32)))
         Rn, tn = jax.vmap(se3.boxplus)(Rs, ts, dx)
         upd = active & ~abort_now
         Rs = jnp.where(upd[:, None, None], Rn, Rs)
@@ -287,6 +324,10 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
 
     last = jnp.maximum(iters - 1, 0)
     H_last = hist.H[jnp.arange(B), last]
+    lane_ix = jnp.arange(B)
+    rmse_last = hist.rmse[lane_ix, last]
+    fitness_last = hist.fitness[lane_ix, last]
+    nvalid_last = hist.num_valid[lane_ix, last]
 
     # ---- pass 2: telemetry reconstruction (B x I batched) ----------------
     if params.full_telemetry:
@@ -300,7 +341,8 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
     cov = jax.vmap(lambda H, c: covariance_from_H(H, c, dtype))(H_last, conv)
     return BatchICPResult(R=Rs, t=ts, converged=conv, aborted=abt,
                           iterations=iters, covariance=cov, log=log,
-                          pair_overflow=ovf, H_last=H_last)
+                          pair_overflow=ovf, H_last=H_last, rmse=rmse_last,
+                          fitness=fitness_last, num_valid=nvalid_last)
 
 
 def estimate_map_capacities(mindex: MapIndex, source_xyz, poses_Rt,

@@ -98,16 +98,26 @@ _QBS = 128   # query block size for the culled local search
 
 
 def _local_topk_culled(p_w, q_valid, tgt_blocks, tgt_bval, blo, bhi,
-                       radius, kk, G):
+                       radius, kk, G, sb: int = 0, GS: int = 0):
     """Exact within-``radius`` top-kk via bbox block culling (the
     ops/block_sparse.block_knn design applied INSIDE the map shard): per
     128-query block, only the nearest G target blocks whose bbox is
     within ``radius`` are searched, so per-iteration cost tracks the
     neighborhood occupancy, not M_shard.  Neighbors beyond ``radius`` may
     be reported as inf -- the correspondence radius gate downstream
-    rejects them identically.  Returns (sqdist (n, kk), coords
-    (n, kk, 3), overflow () int32 = #query blocks with > G relevant
-    target blocks; size G so this stays 0)."""
+    rejects them identically.
+
+    ``sb`` > 0 enables the TWO-LEVEL cull (ops/block_sparse.MapIndex
+    applied inside the shard): blocks group into supers of ``sb``; the
+    (nq, nbt_loc) gap matrix is replaced by (nq, nbt_loc/sb) at the
+    super level + (nq, GS*sb) over only the <= GS nearest relevant
+    supers -- per-iteration bbox work then tracks the neighborhood, not
+    the shard's block count (a 218M-point map / 8 shards is ~850k local
+    blocks; the flat matrix would be 40 x 850k per iteration).
+
+    Returns (sqdist (n, kk), coords (n, kk, 3), overflow () int32 =
+    #query blocks whose relevant blocks/supers exceeded G/GS; size via
+    the host estimators so this stays 0)."""
     n = p_w.shape[0]
     nbt, tb = tgt_bval.shape
     Gc = min(G, nbt)
@@ -122,16 +132,55 @@ def _local_topk_culled(p_w, q_valid, tgt_blocks, tgt_bval, blo, bhi,
     qlo = jnp.min(jnp.where(qvb[..., None], qb, jnp.inf), axis=1)
     qhi = jnp.max(jnp.where(qvb[..., None], qb, -jnp.inf), axis=1)
 
-    gap = jnp.maximum(0.0, jnp.maximum(qlo[:, None] - bhi[None, :],
-                                       blo[None, :] - qhi[:, None]))
-    d_bb = jnp.sum(gap * gap, axis=-1)                       # (nq, nbt)
-    rel = d_bb <= radius * radius
-    overflow = jnp.sum((jnp.sum(rel.astype(jnp.int32), axis=1) > Gc)
-                       .astype(jnp.int32))
-    score = jnp.where(rel, d_bb, jnp.inf)
-    neg, bsel = jax.lax.top_k(-score, Gc)                    # (nq, Gc)
-    slot_ok = jnp.isfinite(-neg)
-    bsel = jnp.where(slot_ok, bsel, 0)
+    r2 = radius * radius
+    if sb and nbt > sb:
+        ns = -(-nbt // sb)
+        pad_b = ns * sb - nbt
+        blo_p = jnp.concatenate([blo, jnp.full((pad_b, 3), jnp.inf,
+                                               blo.dtype)])
+        bhi_p = jnp.concatenate([bhi, jnp.full((pad_b, 3), -jnp.inf,
+                                               bhi.dtype)])
+        slo_s = jnp.min(blo_p.reshape(ns, sb, 3), axis=1)
+        shi_s = jnp.max(bhi_p.reshape(ns, sb, 3), axis=1)
+        gs = jnp.maximum(0.0, jnp.maximum(qlo[:, None] - shi_s[None],
+                                          slo_s[None] - qhi[:, None]))
+        ds = jnp.sum(gs * gs, axis=-1)                       # (nq, ns)
+        rel_s = ds <= r2
+        GSc = min(max(GS, 1), ns)
+        sup_ovf = jnp.sum((jnp.sum(rel_s.astype(jnp.int32), axis=1) > GSc)
+                          .astype(jnp.int32))
+        negs, ssel = jax.lax.top_k(jnp.where(rel_s, -ds, -jnp.inf), GSc)
+        s_ok = jnp.isfinite(negs)
+        ssel = jnp.where(s_ok, ssel, 0)
+        # candidate blocks of the selected supers only: (nq, GSc*sb)
+        cand_ids = (ssel[:, :, None] * sb
+                    + jnp.arange(sb, dtype=jnp.int32)).reshape(nq,
+                                                               GSc * sb)
+        in_map = (cand_ids < nbt) & jnp.repeat(s_ok, sb, axis=1)
+        cand_ids = jnp.where(in_map, cand_ids, 0)
+        cblo = blo[cand_ids]                                 # (nq, C, 3)
+        cbhi = bhi[cand_ids]
+        gap = jnp.maximum(0.0, jnp.maximum(qlo[:, None] - cbhi,
+                                           cblo - qhi[:, None]))
+        d_bb = jnp.sum(gap * gap, axis=-1)                   # (nq, C)
+        rel = (d_bb <= r2) & in_map
+        overflow = sup_ovf + jnp.sum(
+            (jnp.sum(rel.astype(jnp.int32), axis=1) > Gc).astype(jnp.int32))
+        neg, col = jax.lax.top_k(jnp.where(rel, -d_bb, -jnp.inf), Gc)
+        slot_ok = jnp.isfinite(neg)
+        bsel = jnp.where(slot_ok,
+                         jnp.take_along_axis(cand_ids, col, axis=1), 0)
+    else:
+        gap = jnp.maximum(0.0, jnp.maximum(qlo[:, None] - bhi[None, :],
+                                           blo[None, :] - qhi[:, None]))
+        d_bb = jnp.sum(gap * gap, axis=-1)                   # (nq, nbt)
+        rel = d_bb <= r2
+        overflow = jnp.sum((jnp.sum(rel.astype(jnp.int32), axis=1) > Gc)
+                           .astype(jnp.int32))
+        score = jnp.where(rel, d_bb, jnp.inf)
+        neg, bsel = jax.lax.top_k(-score, Gc)                # (nq, Gc)
+        slot_ok = jnp.isfinite(-neg)
+        bsel = jnp.where(slot_ok, bsel, 0)
 
     cand = tgt_blocks[bsel].reshape(nq, Gc * tb, 3)
     cok = (tgt_bval[bsel] & slot_ok[..., None]).reshape(nq, Gc * tb)
@@ -170,7 +219,8 @@ def sharded_icp_register(mesh: Mesh, source_xyz, target_xyz, R0, t0,
                          params: ICPParams = ICPParams(),
                          T_gt=None, source_valid=None, target_valid=None,
                          block_cull: bool = True, block_size: int = 32,
-                         num_blocks: int = 16):
+                         num_blocks: int = 16, super_size: int = 0,
+                         num_supers: int = 8):
     """Full degeneracy-aware point-to-plane ICP, sharded over ``mesh``.
 
     source_xyz (N, 3) with N divisible by mesh.shape['data']; target_xyz
@@ -188,6 +238,12 @@ def sharded_icp_register(mesh: Mesh, source_xyz, target_xyz, R0, t0,
     Target should be Morton-sorted (ops/block_sparse.morton_argsort) for
     compact blocks.  ``block_cull=False`` is the dense (n, M_shard) path
     for tiny targets.
+
+    super_size: > 0 adds the TWO-LEVEL cull inside each shard (supers of
+    ``super_size`` blocks, <= ``num_supers`` relevant supers per query
+    block) so per-iteration bbox work tracks the neighborhood instead of
+    the shard's block count -- required for reference-scale shards
+    (e.g. 218M points / 8 chips ~ 850k blocks each).
     """
     dtype = source_xyz.dtype
     if T_gt is None:
@@ -232,7 +288,8 @@ def sharded_icp_register(mesh: Mesh, source_xyz, target_xyz, R0, t0,
             if block_cull:
                 d_loc, c_loc, b_ovf = _local_topk_culled(
                     p_w, src_val_loc, tgt_blocks, tgt_bval, blo, bhi,
-                    cp.search_radius, k, num_blocks)
+                    cp.search_radius, k, num_blocks, sb=super_size,
+                    GS=num_supers)
             else:
                 d_loc, c_loc = _local_topk(p_w, tgt_loc, tgt_val_loc, k)
                 b_ovf = jnp.asarray(0, jnp.int32)

@@ -66,6 +66,43 @@ def test_sharded_matches_single_chip(block_cull):
     assert bool(res.converged) == bool(ref.converged)
 
 
+def test_sharded_two_level_cull_matches_flat():
+    """super_size > 0 (the in-shard two-level cull, VERDICT r4 item 7)
+    equals the flat block cull and the unsharded engine exactly."""
+    n_devices = 8
+    if len(jax.devices()) < n_devices:
+        pytest.skip("needs virtual device mesh")
+    source, target = _random_scene(n=512, m=4096, seed=3)
+    pose = jnp.array([0.01, -0.02, 0.03, 0.05, -0.04, 0.06])
+    R0 = se3.euler_zyx_to_rot(pose[0], pose[1], pose[2])
+    t0 = pose[3:]
+    params = ICPParams(max_iterations=8)
+
+    dp, mp = factor_mesh(n_devices)
+    mesh = make_mesh(dp, mp)
+    src_p, src_v = shard_points(source, dp)
+    tgt_p, tgt_v = shard_points(target, mp, block=32)
+    # the random-order source makes every local query block span the
+    # whole scene, so all 64 per-shard blocks are relevant: capacities
+    # cover them all and the test exercises pure selection parity
+    common = dict(source_valid=src_v, target_valid=tgt_v, block_cull=True,
+                  num_blocks=64)
+    flat = sharded_icp_register(
+        mesh, src_p, tgt_p, R0, t0, DetectionMethod.SCHUR_CONDITION_NUMBER,
+        HandlingMethod.PRECONDITIONED_CG, params, **common)
+    two = sharded_icp_register(
+        mesh, src_p, tgt_p, R0, t0, DetectionMethod.SCHUR_CONDITION_NUMBER,
+        HandlingMethod.PRECONDITIONED_CG, params, super_size=4,
+        num_supers=16, **common)
+    assert int(flat.block_overflow) == 0
+    assert int(two.block_overflow) == 0
+    np.testing.assert_allclose(np.asarray(two.t), np.asarray(flat.t),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(two.R), np.asarray(flat.R),
+                               atol=1e-10)
+    assert int(two.iterations) == int(flat.iterations)
+
+
 @requires_reference
 def test_sharded_cylinder_ours(cylinder_clouds):
     """The headline benchmark registered on a 4x2 mesh (block-culled map

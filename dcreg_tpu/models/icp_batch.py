@@ -406,14 +406,16 @@ def estimate_map_capacities(mindex: MapIndex, source_xyz, poses_Rt,
 
     num_supers = int(sup_count.max()) + sup_margin
     max_per_query = int(-(-int(blk_count.max()) * margin // 4) * 4) + 4
-    if max_per_query > 256:
+    if max_per_query > 2048:
         raise ValueError(
             f"map-scale slot capacity needs {max_per_query} target blocks "
-            "per query block (cap 256 = 2^15 candidate points / TB).  The "
-            "scan is too sparse relative to the map for radius "
-            f"{radius}: tighten ``radius`` to an initial-pose-error bound "
-            "(icp_batch_so3 initial_cull_radius), densify the scan "
-            "region, or route through parallel/sharded.py")
+            "per query block (cap 2048 = 2^18 candidate ids / TB, "
+            "ops/pallas_block_knn.MAX_INDEX_BITS).  The scan is too "
+            f"sparse relative to the map for radius {radius}: tighten "
+            "``radius`` to an initial-pose-error bound (icp_batch_so3 "
+            "initial_cull_radius), densify the scan region, or fall back "
+            "to the single-lane engine with grid=mindex.block "
+            "(ops/block_sparse.block_knn has no packed-id cap)")
     num_pairs = max(64, int(-(-total_pairs * margin // 64) * 64))
     return num_supers, max_per_query, num_pairs
 

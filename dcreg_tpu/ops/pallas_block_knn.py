@@ -56,7 +56,15 @@ QB = 128    # query block size (lanes)
 KP = 8      # padded k (sublane granularity); only the first k rows are live
 K = 5       # neighbors actually maintained (params.corr.k)
 BIG = 3.0e38
-MAX_INDEX_BITS = 15   # candidate-count cap 2^15; quantization 2^(IB-23)
+# Candidate-id width cap: ids take IB low key bits, the quantized squared
+# distance the remaining 31-IB.  IB is computed per call from the actual
+# candidate count, so ordinary scans keep 13-15 bits (quantization
+# ~4e-6 m^2 at radius 1).  Sparse wide-FoV scans against dense maps can
+# legitimately need >2^15 candidates per query block (a 20 m-wide query
+# leaf meeting a 400 pts/m^2 map); up to 2^18 the distance step is still
+# ~3e-5 m^2 -- far below point spacing, and every residual downstream is
+# re-derived from exactly-gathered coordinates.
+MAX_INDEX_BITS = 18
 
 
 def _index_bits(num_cand: int) -> int:
@@ -72,7 +80,8 @@ def _index_bits(num_cand: int) -> int:
             f"batched_block_knn packs at most 2^{MAX_INDEX_BITS} candidate "
             f"ids ({num_cand} requested); for map-scale targets pass the "
             "slot/tid_table pair from make_pair_list (max_per_query) so "
-            "ids are slot-local")
+            "ids are slot-local; beyond that the scan is too sparse "
+            "relative to the map -- split it or densify")
     return ib
 
 

@@ -18,10 +18,16 @@ regimes, printed as ONE JSON line.
      - single_dispatch_ms: one host->device->host call including the
        relay round trip, for transparency.
 2. Map-scale scan-to-map (supp.pdf Tables II/III: 1-10k-pt scans vs
-   53M-241M-pt prior maps, 1.24-6.47 ms/frame): a 5k-pt scan registered
-   against a synthetic multi-M-point map through the two-level MapIndex
-   and the slotted kernel, reporting marginal ms/frame and batch
-   throughput.  Map size via DCREG_BENCH_MAP_POINTS (default 5M).
+   53M-241M-pt prior maps, 1.24-6.47 ms/frame): the REAL localization
+   loop (models/odometry.run_odometry_map: lax.scan over DISTINCT
+   frames, constant-velocity motion-model seeds, B=1 map-mode DCReg
+   with one reused pair list per frame) against a synthetic multi-M-point
+   map.  ms_per_frame is warm wall-clock / frames of that loop (relay
+   dispatch amortized over the frame count, as in any deployed stream).
+   A fixed-pose chained-marginal number, a B=8 Monte-Carlo stats batch
+   (full telemetry, accuracy-gated), per-method baseline rows through
+   the same loop, and kernel-arithmetic MFU/HBM fractions are reported
+   alongside.  Map size via DCREG_BENCH_MAP_POINTS (default 50M).
 
 Monte-Carlo protocol: the reference's num_runs statistics mode re-runs
 the SAME configured pose every run (icp_test_runner.cpp:393-399 uses
@@ -46,8 +52,14 @@ BASELINE_MS = 7.79          # supp.pdf Table I, "Ours" cylinder time
 BASELINE_REG_S = 1000.0 / BASELINE_MS
 MAP_BASELINE_MS = 6.47      # supp.pdf Table II, Stairs: 3-5k pts vs 128M map
 BATCH = int(os.environ.get("DCREG_BENCH_BATCH", "128"))
-MAP_POINTS = int(os.environ.get("DCREG_BENCH_MAP_POINTS", "5000000"))
+MAP_POINTS = int(os.environ.get("DCREG_BENCH_MAP_POINTS", "50000000"))
 MAP_BATCH = int(os.environ.get("DCREG_BENCH_MAP_BATCH", "8"))
+ODOM_FRAMES = int(os.environ.get("DCREG_BENCH_ODOM_FRAMES", "64"))
+BASELINE_FRAMES = int(os.environ.get("DCREG_BENCH_BASELINE_FRAMES", "16"))
+# TPU v5e single-chip peaks for the honest-fraction report (the kernel
+# is f32 VPU work, so the MXU-bf16 fraction is a strict lower bound)
+V5E_PEAK_BF16 = 197e12
+V5E_HBM_GBS = 819.0
 
 CYL = "/root/reference/results/simulation/table3_fig9_fig10/target_clouds.pcd"
 
@@ -221,6 +233,8 @@ def bench_map(out):
     from dcreg_tpu.models.icp import ICPParams
     from dcreg_tpu.models.icp_batch import (estimate_map_capacities,
                                             icp_batch_so3)
+    from dcreg_tpu.models.odometry import (estimate_odometry_capacities,
+                                           prepare_frames, run_odometry_map)
     from dcreg_tpu.ops.degeneracy import DetectionMethod, HandlingMethod
     from dcreg_tpu.ops.block_sparse import (build_map_index,
                                             kd_block_order)
@@ -228,85 +242,123 @@ def bench_map(out):
 
     extent = max(60.0, (MAP_POINTS / 1500.0) ** 0.5)  # ~density-stable
     world = _synthetic_map(MAP_POINTS, extent)
+    # the ground plane clears the map-frame origin: the reference-
+    # faithful n.p=-1 plane fit (icp_test_runner.cpp:1726) is singular
+    # for planes through the origin -- a ground plane at z=0 through
+    # (0,0,0) gets ~13 deg rms phantom normal tilt (measured).  The
+    # clearance is a FIXED ~10 m, not extent-scaled: f32 fit precision
+    # degrades with |p| (an earlier 0.3*extent offset put the scan region
+    # at |p|~165 m and cost ~2.5 extra ICP iterations per frame), so the
+    # scene stays in a local frame, as any f32 production map must
+    world = world + np.array([0.0, 0.0, 9.0], np.float32)
     # kd-leaf order: every 128-point block is a compact box (a Morton
     # seam block would span the map and set the slot capacity)
     world = world[kd_block_order(world, 128)]
     mindex = build_map_index(world, dtype=jnp.float32, tb=128, sb=64)
 
-    # GT pose in the interior; 5k-pt body-frame scan from map points.
-    # The scan covers a ~6 m radius at near-map density -- the regime of
-    # the reference's frames (Stairs: 3-5k pts in a stairwell section);
-    # a 5k scan smeared over tens of meters would be ~100x sparser than
-    # the map and no LiDAR produces that
-    rng = np.random.default_rng(11)
-    center = np.array([extent * 0.2, -extent * 0.15, 0.8])
-    d2 = np.sum((world - center) ** 2, axis=1)
-    near = world[d2 < 6.0 ** 2]
-    scan_w = near[rng.choice(near.shape[0], 5000, replace=False)]
-    yaw = 0.3
-    Rg = np.asarray(se3.euler_zyx_to_rot(*map(jnp.asarray,
-                                              (0.0, 0.0, yaw))))
-    T_gt = np.eye(4, dtype=np.float32)
-    T_gt[:3, :3] = Rg
-    T_gt[:3, 3] = center
+    # ---- GT trajectory + per-frame scans inside the map -----------------
+    # Scans cover a ~6 m radius at near-map density -- the regime of the
+    # reference's frames (Stairs: 3-5k pts in a stairwell section).
     # 3 mm sensor noise: a noiseless scan (exact subset of the map) has a
-    # non-smooth optimum at the fixed-point quantization scale and stalls
-    # convergence at mm level; real scans are noisy
-    scan = ((scan_w - center) @ Rg
-            + rng.normal(0, 0.003, scan_w.shape)).astype(np.float32)
-    scan = scan[kd_block_order(scan, 128)]
+    # non-smooth optimum at the fixed-point quantization scale.
+    rng = np.random.default_rng(11)
+    # trajectory near the map-frame origin (|p| ~ 15-30 m): f32 precision
+    # of the n.p=-1 plane fits degrades with |p|
+    start = np.array([9.0, -6.0, 9.0 + 0.8], np.float32)
+    F = ODOM_FRAMES
+    gt = []
+    for i in range(-2, F):
+        yaw = 0.3 + 0.02 * i + 0.01 * np.sin(0.25 * i)
+        c, s = np.cos(yaw), np.sin(yaw)
+        T = np.eye(4)
+        T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        step = 0.22 + 0.06 * np.sin(0.2 * i)      # accelerating platform
+        T[:3, 3] = start + [step * i * c * 0.9, step * i * s * 0.9, 0.0]
+        gt.append(T)
+    T_pre2, T_pre1, gt = gt[0], gt[1], np.asarray(gt[2:])
+
+    # one pass over the (multi-GB) map restricted to the trajectory tube,
+    # then per-frame spherical windows from that subset
+    tube_lo = gt[:, :3, 3].min(axis=0) - 7.0
+    tube_hi = gt[:, :3, 3].max(axis=0) + 7.0
+    tube = world[np.all((world >= tube_lo) & (world <= tube_hi), axis=1)]
+    frames = []
+    for i in range(F):
+        c = gt[i][:3, 3]
+        d2 = np.sum((tube - c) ** 2, axis=1)
+        near = tube[d2 < 6.0 ** 2]
+        sel = near[rng.choice(near.shape[0], 5000, replace=False)]
+        frames.append((sel - c) @ gt[i][:3, :3]
+                      + rng.normal(0, 0.003, (5000, 3)))
+    frames_s = prepare_frames(np.asarray(frames, np.float32))
 
     params = ICPParams()
-    # odometry-prior-grade initial error (~0.3 deg / ~6 cm): a
-    # localization loop seeds each frame from the motion model, cm-level
-    # off (the regime of the reference's per-frame Tables II/III times;
-    # a dense map's plane fits have a small per-iteration capture range,
-    # so meter-level errors are a relocalization problem, not this one)
+    # iteration-0 cull bound: motion-model seed error (cm-level) +
+    # d5(converged) at map density + slack; the reuse margin covers 2x
+    # the per-frame correction incl. the ~6 m FoV rotation lever (the
+    # in-jit guard reports breaches through pair_overflow)
+    R_CULL0 = 0.25
+    REUSE_MARGIN = 0.2
+    S, G, P = estimate_odometry_capacities(mindex, frames_s, gt,
+                                           R_CULL0 + REUSE_MARGIN)
+
+    world_j = jnp.asarray(world)
+
+    # ---- 1) the REAL localization loop (headline) -----------------------
+    def run_odom(fr):
+        return run_odometry_map(
+            fr, mindex, world_j, T0=jnp.asarray(T_pre1, jnp.float32),
+            T_prev_init=jnp.asarray(T_pre2, jnp.float32),
+            icp_params=params._replace(full_telemetry=False),
+            num_supers=S, max_per_query=G, num_pairs=P,
+            initial_cull_radius=R_CULL0, reuse_margin=REUSE_MARGIN)
+
+    fr_j = jnp.asarray(frames_s)
+    res_o = jax.block_until_ready(run_odom(fr_j))
+    dt_o = _timeit(run_odom, fr_j, reps=4)
+    ms_frame = dt_o / F * 1e3
+    est = np.asarray(res_o.poses)
+    te_o = np.linalg.norm(est[:, :3, 3] - gt[:, :3, 3], axis=1)
+    odom_ok = bool(np.asarray(res_o.converged).all()
+                   and int(np.asarray(res_o.pair_overflow).max()) == 0
+                   and te_o.mean() < 0.05 and te_o.max() < 0.10)
+    odom_iters = float(np.asarray(res_o.iterations).mean())
+
+    # ---- 2) B=8 Monte-Carlo stats batch (full telemetry, accuracy) ------
+    scan_j = jnp.asarray(frames_s[0])
+    T_gt0 = jnp.asarray(gt[0], jnp.float32)
     nominal = np.array([np.deg2rad(0.1), np.deg2rad(0.1), np.deg2rad(0.3),
                         0.03, 0.05, 0.02])
     rng2 = np.random.default_rng(3)
     pert = nominal[None, :] * rng2.uniform(0.9, 1.1, (MAP_BATCH, 6))
     R0s = jnp.stack([
-        jnp.asarray(Rg) @ se3.euler_zyx_to_rot(*map(jnp.asarray, p[:3]))
+        jnp.asarray(gt[0][:3, :3])
+        @ se3.euler_zyx_to_rot(*map(jnp.asarray, p[:3]))
         for p in pert]).astype(jnp.float32)
-    t0s = jnp.asarray(center[None] + pert[:, 3:], jnp.float32)
-
+    t0s = jnp.asarray(gt[0][:3, 3][None] + pert[:, 3:], jnp.float32)
     poses_np = [(np.asarray(R0s[i], np.float64), np.asarray(t0s[i]))
                 for i in range(MAP_BATCH)]
-    # iteration-0 cull bound: initial pose error <= ~0.07 m trans +
-    # 0.3 deg * 6 m lever ~ 0.03 m, plus d5(converged) ~ 0.1 m at map
-    # density -- 0.3 m upper-bounds every query's initial 5th-NN
-    # distance, so culling at it is exact (see icp_batch_so3 docstring);
-    # the 1.0 m correspondence gate itself is unchanged
-    R_CULL0 = 0.25
-    # frame chains additionally reuse ONE pair list per registration
-    # (computed at R_CULL0 + margin; in-jit motion guard -- see
-    # icp_batch_so3 reuse_pair_list); capacities must cover that radius
-    REUSE_MARGIN = 0.2
-    S, G, P = estimate_map_capacities(mindex, scan, poses_np,
-                                      R_CULL0 + REUSE_MARGIN)
-
-    world_j = jnp.asarray(world)
-    scan_j = jnp.asarray(scan)
-    T_gt_j = jnp.asarray(T_gt)
+    S2, G2, P2 = estimate_map_capacities(mindex, frames_s[0], poses_np,
+                                         R_CULL0 + REUSE_MARGIN,
+                                         include_identity=False)
 
     def run(R0s_, t0s_):
         return icp_batch_so3(scan_j, world_j, R0s_, t0s_,
                              DetectionMethod.SCHUR_CONDITION_NUMBER,
                              HandlingMethod.PRECONDITIONED_CG, params,
-                             mindex, P, T_gt=T_gt_j, num_supers=S,
-                             max_per_query=G, initial_cull_radius=R_CULL0)
+                             mindex, P2, T_gt=T_gt0, num_supers=S2,
+                             max_per_query=G2, initial_cull_radius=R_CULL0)
 
     res = jax.block_until_ready(run(R0s, t0s))
     assert int(res.pair_overflow) == 0, "map pair-list overflow"
     dt = _timeit(run, R0s, t0s)
-
     iters = np.asarray(res.iterations)
     last = np.maximum(iters - 1, 0)
     te = np.asarray(res.log.trans_error)[np.arange(MAP_BATCH), last]
     re = np.asarray(res.log.rot_error_deg)[np.arange(MAP_BATCH), last]
     conv = np.asarray(res.converged)
 
+    # ---- 3) fixed-pose chained marginal + ASSERTED timed config ---------
     r1, t1 = R0s[:1], t0s[:1]
     # the latency chain matches the reference's localization-loop
     # semantics (Table II per-frame times carry no full-spectrum
@@ -316,31 +368,77 @@ def bench_map(out):
     # clouds/index as ARGUMENTS (closed-over arrays become HLO constants)
     @jax.jit
     def chain(R0s_, t0s_, reps, scan_, world_, mindex_):
-        def body(i, acc):
+        def body(i, carry):
+            acc = carry[0]
             o = icp_batch_so3(scan_, world_, R0s_ * (1.0 + 0.0 * acc),
                               t0s_, DetectionMethod.SCHUR_CONDITION_NUMBER,
                               HandlingMethod.PRECONDITIONED_CG, pm_chain,
-                              mindex_, P, T_gt=T_gt_j, num_supers=S,
-                              max_per_query=G,
+                              mindex_, P2, T_gt=T_gt0, num_supers=S2,
+                              max_per_query=G2,
                               initial_cull_radius=R_CULL0,
                               reuse_pair_list=REUSE_MARGIN)
-            return jnp.sum(o.t) * 0.0
-        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+            return (jnp.sum(o.t) * 0.0, o.R, o.t, o.converged,
+                    o.pair_overflow.astype(jnp.int32))
+        init = (jnp.float32(0.0), R0s_, t0s_,
+                jnp.zeros(R0s_.shape[0], bool), jnp.asarray(0, jnp.int32))
+        return jax.lax.fori_loop(0, reps, body, init)
 
     t2 = _timeit(chain, r1, t1, 2, scan_j, world_j, mindex, reps=8)
     t10 = _timeit(chain, r1, t1, 10, scan_j, world_j, mindex, reps=8)
-    ms_frame = (t10 - t2) / 8 * 1e3
+    chain_ms = (t10 - t2) / 8 * 1e3
+    # assert WHAT WAS TIMED: the chain's own outputs (reuse + telemetry
+    # off) must converge, not overflow (incl. the reuse breach guard),
+    # and land on the stats batch's lane-0 pose (VERDICT r4 item 4)
+    _, cR, ct, cconv, covf = jax.block_until_ready(
+        chain(r1, t1, 1, scan_j, world_j, mindex))
+    chain_ok = bool(np.asarray(cconv).all() and int(covf) == 0
+                    and np.linalg.norm(np.asarray(ct[0])
+                                       - np.asarray(res.t[0])) < 1e-3
+                    and np.abs(np.asarray(cR[0])
+                               - np.asarray(res.R[0])).max() < 1e-4)
+
+    # ---- 4) kernel-arithmetic MFU / HBM fractions -----------------------
+    kernel_flops_iter = float(P) * 128 * 128 * 18
+    kernel_bytes_iter = float(P) * (128 * 3 + 3 * 128) * 4 \
+        + (frames_s[0].shape[0] // 128 + 1) * 8 * 128 * 4
+    tail_bytes_iter = 5000.0 * (5 * 3 + 10) * 4   # gathers + SoA passes
+    fl = kernel_flops_iter * odom_iters / (ms_frame * 1e-3)
+    bw = (kernel_bytes_iter + tail_bytes_iter) * odom_iters \
+        / (ms_frame * 1e-3)
+    mfu = {
+        "achieved_tflops": round(fl / 1e12, 3),
+        "mxu_bf16_frac": round(fl / V5E_PEAK_BF16, 4),
+        "achieved_hbm_gbs": round(bw / 1e9, 2),
+        "hbm_frac": round(bw / (V5E_HBM_GBS * 1e9), 4),
+        "note": ("counted kernel arithmetic only (f32 VPU work; the "
+                 "MXU-bf16 fraction is a strict lower bound) -- the map "
+                 "workload is latency/occupancy-bound, not "
+                 "roofline-bound"),
+    }
 
     acc_ok = bool((te.mean() < 0.05) and (re.mean() < 0.5)
-                  and conv.all())
+                  and conv.all()) and odom_ok and chain_ok
     out["map_scale"] = {
         "map_points": int(MAP_POINTS),
         "scan_points": 5000,
         "ms_per_frame": round(float(ms_frame), 3),
+        "ms_per_frame_method": (
+            f"real odometry loop (run_odometry_map), {F} distinct "
+            "frames, warm wall-clock / frames (dispatch amortized)"),
         "baseline_ms_per_frame": MAP_BASELINE_MS,
         "baseline_note": "supp.pdf Table II Stairs: 3-5k pts vs 128M map",
         "vs_baseline": round(float(MAP_BASELINE_MS / max(ms_frame, 1e-9)),
                              3),
+        "odom_frames": F,
+        "odom_te_mean_m": round(float(te_o.mean()), 5),
+        "odom_te_max_m": round(float(te_o.max()), 5),
+        "odom_iters_mean": round(odom_iters, 2),
+        "odom_converged_frac": round(
+            float(np.asarray(res_o.converged).mean()), 3),
+        "odom_ovf_max": int(np.asarray(res_o.pair_overflow).max()),
+        "odom_ok": odom_ok,
+        "chain_ms_per_frame": round(float(chain_ms), 3),
+        "chain_accuracy_ok": chain_ok,
         "batch": MAP_BATCH,
         "reg_per_sec": round(float(MAP_BATCH / dt), 2),
         "te_mean_m": round(float(te.mean()), 5),
@@ -349,7 +447,52 @@ def bench_map(out):
         "iters_mean": round(float(iters.mean()), 2),
         "num_supers": int(S), "max_per_query": int(G), "num_pairs": int(P),
         "accuracy_ok": acc_ok,
+        "mfu": mfu,
     }
+
+    # ---- 5) baselines at map scale through the SAME real loop -----------
+    try:
+        rows = {}
+        fr_b = jnp.asarray(frames_s[:BASELINE_FRAMES])
+        gt_b = gt[:BASELINE_FRAMES]
+        for name, det, hand in [
+                ("ME-TSVD", DetectionMethod.FULL_EVD_MIN_EIGENVALUE,
+                 HandlingMethod.TRUNCATED_SVD),
+                ("ME-TReg", DetectionMethod.FULL_EVD_MIN_EIGENVALUE,
+                 HandlingMethod.STANDARD_REGULARIZATION),
+                ("FCN-SR", DetectionMethod.FULL_SVD_CONDITION,
+                 HandlingMethod.SOLUTION_REMAPPING)]:
+            def run_b(fr, det=det, hand=hand):
+                return run_odometry_map(
+                    fr, mindex, world_j,
+                    T0=jnp.asarray(T_pre1, jnp.float32),
+                    T_prev_init=jnp.asarray(T_pre2, jnp.float32),
+                    detection=det, handling=hand,
+                    icp_params=params._replace(full_telemetry=False),
+                    num_supers=S, max_per_query=G, num_pairs=P,
+                    initial_cull_radius=R_CULL0,
+                    reuse_margin=REUSE_MARGIN)
+            r = jax.block_until_ready(run_b(fr_b))
+            dt_b = _timeit(run_b, fr_b, reps=3)
+            e = np.asarray(r.poses)[:, :3, 3] - gt_b[:, :3, 3]
+            rows[name] = {
+                "ms_per_frame": round(dt_b / BASELINE_FRAMES * 1e3, 3),
+                "te_mean_m": round(float(np.linalg.norm(e, axis=1)
+                                         .mean()), 5),
+                "converged_frac": round(
+                    float(np.asarray(r.converged).mean()), 3),
+                "iters_mean": round(
+                    float(np.asarray(r.iterations).mean()), 2),
+            }
+        out["map_scale"]["baselines"] = rows
+        out["map_scale"]["baselines_note"] = (
+            f"{BASELINE_FRAMES}-frame real loop each; this scene is "
+            "fully constrained so baseline ACCURACY matches by design "
+            "-- the degenerate-scene separation lives in "
+            "results/corridor_experiment (same loop, corridor world)")
+    except Exception as e:   # noqa: BLE001 -- baselines must not kill map
+        out["map_scale"]["baselines"] = {"error": str(e)[:300]}
+
 
 
 def main():

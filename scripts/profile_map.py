@@ -81,17 +81,24 @@ def main():
     scan_j = jnp.asarray(scan)
     k = params.corr.k
 
-    def make_loop(do_cull, do_pair, do_knn, do_tail, do_solve):
-        sup0, supok0, _ = super_candidates(slo, shi, R0, t0, mindex,
-                                           R_CULL0, S)
-        rel_l0, bids0 = hier_relevance(slo, shi, R0, t0, mindex, sup0,
-                                       supok0, R_CULL0)
-        rel0 = jnp.any(rel_l0, axis=0)
-        qid0, tid0, slot0, col0, tbl0, _, _ = make_pair_list_slotted(
-            rel0, P, G, block_ids=bids0, nbt=mindex.block.num_blocks)
+    # one-time pair list for the "stage knocked out" variants (device)
+    sup0, supok0, _ = super_candidates(slo, shi, R0, t0, mindex,
+                                       R_CULL0, S)
+    rel_l0, bids0 = hier_relevance(slo, shi, R0, t0, mindex, sup0,
+                                   supok0, R_CULL0)
+    rel0 = jnp.any(rel_l0, axis=0)
+    qid0, tid0, slot0, col0, tbl0, _, _ = make_pair_list_slotted(
+        rel0, P, G, block_ids=bids0, nbt=mindex.block.num_blocks)
+    static0 = (rel0, bids0, qid0, tid0, slot0, tbl0)
 
+    def make_loop(do_cull, do_pair, do_knn, do_tail, do_solve):
+        # big arrays (map, index, scan) MUST be jit ARGUMENTS: a
+        # closed-over device array is baked into the HLO as a constant
+        # (multi-GB compile payloads at 50M points; relay rejects them)
         @jax.jit
-        def run(Rs, ts):
+        def run(Rs, ts, scan_j, world_j, mindex, src_blocks, slo, shi,
+                static0):
+            rel0, bids0, qid0, tid0, slot0, tbl0 = static0
             def body(it, carry):
                 Rs, ts = carry
                 if do_cull:
@@ -151,7 +158,8 @@ def main():
                 Rn, tn = jax.vmap(se3.boxplus)(Rs, ts, dx * 0.1)
                 return Rn, tn
             return jax.lax.fori_loop(0, ITERS, body, (Rs, ts))
-        return run
+        return lambda Rs, ts: run(Rs, ts, scan_j, world_j, mindex,
+                                  src_blocks, slo, shi, static0)
 
     variants = [
         ("all on      ", (1, 1, 1, 1, 1)),

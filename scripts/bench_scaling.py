@@ -93,13 +93,20 @@ def main():
         R0 = jnp.eye(3, dtype=jnp.float32)
         t0 = jnp.asarray([0.05, -0.04, 0.06], jnp.float32)
 
+        # two-level cull for big shards: per-iteration bbox work tracks
+        # the neighborhood, not the shard's block count (a 1M-pt shard is
+        # ~31k blocks -- the flat matrix would be nq x 31k per iteration)
+        nbt_loc = tgt_p.shape[0] // mp // 32
+        sup = dict(super_size=64, num_supers=48) if nbt_loc > 4096 else {}
+        nb = 128 if nbt_loc > 4096 else 64
+
         def run():
             return sharded_icp_register(
                 mesh, src_p, tgt_p, R0, t0,
                 DetectionMethod.SCHUR_CONDITION_NUMBER,
                 HandlingMethod.PRECONDITIONED_CG, params,
                 source_valid=src_v, target_valid=tgt_v,
-                num_blocks=64)
+                num_blocks=nb, **sup)
         jax.block_until_ready(run())          # compile
         reps = 5
         t0_ = time.perf_counter()

@@ -54,7 +54,7 @@ MAP_BASELINE_MS = 6.47      # supp.pdf Table II, Stairs: 3-5k pts vs 128M map
 BATCH = int(os.environ.get("DCREG_BENCH_BATCH", "128"))
 MAP_POINTS = int(os.environ.get("DCREG_BENCH_MAP_POINTS", "50000000"))
 MAP_BATCH = int(os.environ.get("DCREG_BENCH_MAP_BATCH", "8"))
-ODOM_FRAMES = int(os.environ.get("DCREG_BENCH_ODOM_FRAMES", "64"))
+ODOM_FRAMES = int(os.environ.get("DCREG_BENCH_ODOM_FRAMES", "128"))
 BASELINE_FRAMES = int(os.environ.get("DCREG_BENCH_BASELINE_FRAMES", "16"))
 # TPU v5e single-chip peaks for the honest-fraction report (the kernel
 # is f32 VPU work, so the MXU-bf16 fraction is a strict lower bound)
@@ -191,9 +191,9 @@ def bench_cylinder(out):
             return jnp.sum(o.t) * 0.0
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
-    t_chain2 = _timeit(chain, r1, t1, 2, source, target, index, reps=10)
-    t_chain10 = _timeit(chain, r1, t1, 10, source, target, index, reps=10)
-    single_marginal_ms = (t_chain10 - t_chain2) / 8 * 1e3
+    t_chain2 = _timeit(chain, r1, t1, 2, source, target, index, reps=16)
+    t_chain14 = _timeit(chain, r1, t1, 14, source, target, index, reps=16)
+    single_marginal_ms = (t_chain14 - t_chain2) / 12 * 1e3
     single_dispatch_ms = _timeit(chain, r1, t1, 1, source, target, index,
                                  reps=10) * 1e3
 
@@ -262,19 +262,28 @@ def bench_map(out):
     # 3 mm sensor noise: a noiseless scan (exact subset of the map) has a
     # non-smooth optimum at the fixed-point quantization scale.
     rng = np.random.default_rng(11)
-    # trajectory near the map-frame origin (|p| ~ 15-30 m): f32 precision
-    # of the n.p=-1 plane fits degrades with |p|
-    start = np.array([9.0, -6.0, 9.0 + 0.8], np.float32)
+    # trajectory placement: close to the map-frame origin (|p| ~ 30-45 m
+    # -- f32 precision of the n.p=-1 plane fits degrades with |p|) but
+    # BETWEEN the wall lines (y = 0, +-extent/3): a scan leaf straddling
+    # a 980 pts/m^2 wall drags thousands of candidate blocks into its
+    # slot run (measured: P 2000 -> 5632 when the path crossed y=0)
+    start = np.array([9.0, -0.45 * (extent / 3.0), 9.0 + 0.8], np.float32)
     F = ODOM_FRAMES
     gt = []
+    pos = start.astype(np.float64).copy()
     for i in range(-2, F):
-        yaw = 0.3 + 0.02 * i + 0.01 * np.sin(0.25 * i)
+        # INTEGRATED path with a bounded S-curve heading and varying
+        # speed: smooth cm-scale accelerations (the motion-model seed
+        # error regime of a real platform); an unintegrated step*i
+        # parameterization jumped up to 1.6 m between frames
+        yaw = 0.3 + 0.35 * np.sin(0.05 * i) + 0.01 * np.sin(0.25 * i)
         c, s = np.cos(yaw), np.sin(yaw)
         T = np.eye(4)
         T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
-        step = 0.22 + 0.06 * np.sin(0.2 * i)      # accelerating platform
-        T[:3, 3] = start + [step * i * c * 0.9, step * i * s * 0.9, 0.0]
+        T[:3, 3] = pos
         gt.append(T)
+        step = 0.22 + 0.06 * np.sin(0.2 * i)      # accelerating platform
+        pos = pos + [step * c, step * s, 0.0]
     T_pre2, T_pre1, gt = gt[0], gt[1], np.asarray(gt[2:])
 
     # one pass over the (multi-GB) map restricted to the trajectory tube,
@@ -293,14 +302,23 @@ def bench_map(out):
     frames_s = prepare_frames(np.asarray(frames, np.float32))
 
     params = ICPParams()
-    # iteration-0 cull bound: motion-model seed error (cm-level) +
-    # d5(converged) at map density + slack; the reuse margin covers 2x
-    # the per-frame correction incl. the ~6 m FoV rotation lever (the
-    # in-jit guard reports breaches through pair_overflow)
-    R_CULL0 = 0.25
-    REUSE_MARGIN = 0.2
+    # odometry-loop cull bound: motion-model seed error (~1.5 cm on the
+    # integrated trajectory) + d5(converged) at map density (~0.07 m) +
+    # slack; the reuse margin covers 2x the per-frame correction incl.
+    # the ~6 m FoV rotation lever (the in-jit guard reports breaches
+    # through pair_overflow).  The B=8 Monte-Carlo stats batch below
+    # carries ~7 cm seeds and gets its own wider radii.
+    R_CULL0 = 0.18
+    REUSE_MARGIN = 0.12
+    MC_CULL0, MC_MARGIN = 0.25, 0.2
+    # pair margin 1.25 (the kernel grid size IS the pair capacity --
+    # padding steps are not free) but slot margin 1.6 + wide sup margin:
+    # unused slots only widen the table, and a long run samples many
+    # near-boundary poses
     S, G, P = estimate_odometry_capacities(mindex, frames_s, gt,
-                                           R_CULL0 + REUSE_MARGIN)
+                                           R_CULL0 + REUSE_MARGIN,
+                                           margin=1.25, slot_margin=1.6,
+                                           sup_margin=4)
 
     world_j = jnp.asarray(world)
 
@@ -339,7 +357,7 @@ def bench_map(out):
     poses_np = [(np.asarray(R0s[i], np.float64), np.asarray(t0s[i]))
                 for i in range(MAP_BATCH)]
     S2, G2, P2 = estimate_map_capacities(mindex, frames_s[0], poses_np,
-                                         R_CULL0 + REUSE_MARGIN,
+                                         MC_CULL0 + MC_MARGIN,
                                          include_identity=False)
 
     def run(R0s_, t0s_):
@@ -347,7 +365,7 @@ def bench_map(out):
                              DetectionMethod.SCHUR_CONDITION_NUMBER,
                              HandlingMethod.PRECONDITIONED_CG, params,
                              mindex, P2, T_gt=T_gt0, num_supers=S2,
-                             max_per_query=G2, initial_cull_radius=R_CULL0)
+                             max_per_query=G2, initial_cull_radius=MC_CULL0)
 
     res = jax.block_until_ready(run(R0s, t0s))
     assert int(res.pair_overflow) == 0, "map pair-list overflow"
@@ -375,16 +393,16 @@ def bench_map(out):
                               HandlingMethod.PRECONDITIONED_CG, pm_chain,
                               mindex_, P2, T_gt=T_gt0, num_supers=S2,
                               max_per_query=G2,
-                              initial_cull_radius=R_CULL0,
-                              reuse_pair_list=REUSE_MARGIN)
+                              initial_cull_radius=MC_CULL0,
+                              reuse_pair_list=MC_MARGIN)
             return (jnp.sum(o.t) * 0.0, o.R, o.t, o.converged,
                     o.pair_overflow.astype(jnp.int32))
         init = (jnp.float32(0.0), R0s_, t0s_,
                 jnp.zeros(R0s_.shape[0], bool), jnp.asarray(0, jnp.int32))
         return jax.lax.fori_loop(0, reps, body, init)
 
-    t2 = _timeit(chain, r1, t1, 2, scan_j, world_j, mindex, reps=8)
-    t10 = _timeit(chain, r1, t1, 10, scan_j, world_j, mindex, reps=8)
+    t2 = _timeit(chain, r1, t1, 2, scan_j, world_j, mindex, reps=12)
+    t10 = _timeit(chain, r1, t1, 10, scan_j, world_j, mindex, reps=12)
     chain_ms = (t10 - t2) / 8 * 1e3
     # assert WHAT WAS TIMED: the chain's own outputs (reuse + telemetry
     # off) must converge, not overflow (incl. the reuse breach guard),

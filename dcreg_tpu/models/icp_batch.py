@@ -338,7 +338,19 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
     else:
         log = jax.vmap(lambda _: _empty_log(I, dtype))(jnp.arange(B))
 
-    cov = jax.vmap(lambda H, c: covariance_from_H(H, c, dtype))(H_last, conv)
+    if params.full_telemetry:
+        cov = jax.vmap(lambda H, c: covariance_from_H(H, c, dtype))(
+            H_last, conv)
+    else:
+        # speed runs: plain solve-based H^-1 (the reference's eigenvalue
+        # repair only matters for near-singular H, which aborts the lane
+        # anyway) -- covariance_from_H costs TWO 6x6 Jacobi EVDs, a
+        # measurable per-registration latency tax in the map loop
+        eye6 = jnp.eye(6, dtype=dtype)
+        inv = jax.vmap(lambda H: jnp.linalg.solve(H, eye6))(H_last)
+        ok = conv[:, None, None] & jnp.all(jnp.isfinite(inv),
+                                           axis=(1, 2))[:, None, None]
+        cov = jnp.where(ok, inv, 1e6 * eye6)
     return BatchICPResult(R=Rs, t=ts, converged=conv, aborted=abt,
                           iterations=iters, covariance=cov, log=log,
                           pair_overflow=ovf, H_last=H_last, rmse=rmse_last,
@@ -348,7 +360,8 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
 def estimate_map_capacities(mindex: MapIndex, source_xyz, poses_Rt,
                             radius: float, margin: float = 1.3,
                             sup_margin: int = 2,
-                            include_identity: bool = True):
+                            include_identity: bool = True,
+                            slot_margin: float = None):
     """Host-side static capacities for MAP-SCALE batch registration.
 
     Returns (num_supers, max_per_query, num_pairs): the level-1 cull
@@ -405,7 +418,11 @@ def estimate_map_capacities(mindex: MapIndex, source_xyz, poses_Rt,
     sup_count = rel_sup.sum(axis=1)
 
     num_supers = int(sup_count.max()) + sup_margin
-    max_per_query = int(-(-int(blk_count.max()) * margin // 4) * 4) + 4
+    # the slot capacity may carry a wider margin than the pair total:
+    # the kernel grid size is num_pairs (padding steps cost real time)
+    # while an unused slot costs only table width
+    sm = margin if slot_margin is None else slot_margin
+    max_per_query = int(-(-int(blk_count.max()) * sm // 4) * 4) + 4
     if max_per_query > 2048:
         raise ValueError(
             f"map-scale slot capacity needs {max_per_query} target blocks "

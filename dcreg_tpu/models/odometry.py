@@ -238,11 +238,12 @@ class MapOdometryResult(NamedTuple):
 @functools.partial(jax.jit, static_argnames=(
     "detection", "handling", "params", "num_pairs", "num_supers",
     "max_per_query", "initial_cull_radius", "reuse_margin",
-    "use_constant_velocity"))
+    "use_constant_velocity", "frame_analysis_fast"))
 def _odometry_map_impl(frames, map_xyz, mindex, T0, T_prev, detection,
                        handling, params, num_pairs, num_supers,
                        max_per_query, initial_cull_radius, reuse_margin,
-                       use_constant_velocity) -> MapOdometryResult:
+                       use_constant_velocity,
+                       frame_analysis_fast=True) -> MapOdometryResult:
     from ..ops.degeneracy import analyze as analyze_enum
     from .icp_batch import icp_batch_so3
 
@@ -272,7 +273,16 @@ def _odometry_map_impl(frames, map_xyz, mindex, T0, T_prev, detection,
                             initial_cull_radius=initial_cull_radius,
                             reuse_pair_list=reuse_margin)
         R, t = out.R[0], out.t[0]
-        ana = analyze_enum(out.H_last[0], detection, params.thresholds)
+        # per-frame degeneracy telemetry from the final H: the fast
+        # (closed-form 3x3 Schur) analysis when the detection allows it
+        # -- the full 6x6 Jacobi path costs real per-frame latency.
+        # frame_analysis_fast=False restores the full spectrum (cond_full
+        # etc.) for telemetry-grade runs like the corridor experiment.
+        from ..ops.degeneracy import DetectionMethod as _DM
+        fast_ok = (frame_analysis_fast
+                   and detection is _DM.SCHUR_CONDITION_NUMBER)
+        ana = analyze_enum(out.H_last[0], detection, params.thresholds,
+                           fast=fast_ok)
         outs = (se3.se3_matrix(R, t), out.iterations[0], out.converged[0],
                 out.aborted[0], out.pair_overflow.astype(jnp.int32),
                 ana.is_degenerate, ana.degenerate_mask,
@@ -294,7 +304,7 @@ def _odometry_map_impl(frames, map_xyz, mindex, T0, T_prev, detection,
 
 def estimate_odometry_capacities(mindex, frames, traj_hint, radius,
                                  margin: float = 1.3, sup_margin: int = 2,
-                                 stride: int = 1):
+                                 stride: int = 1, slot_margin: float = None):
     """Static (num_supers, max_per_query, num_pairs) covering every frame
     of an odometry run: the max of per-frame ``estimate_map_capacities``
     over the hinted trajectory (an approximate prior -- GT, a previous
@@ -303,15 +313,22 @@ def estimate_odometry_capacities(mindex, frames, traj_hint, radius,
     from .icp_batch import estimate_map_capacities
     S = G = P = 0
     for f in range(0, len(frames), max(1, stride)):
-        # sample the frame's hint pose AND the previous one: a stalled
-        # motion model seeds frame f near frame f-1's pose, and the cull
-        # runs at the SEED -- capacities must cover both
+        # sample the frame's hint pose, the previous one (a stalled
+        # motion model), AND the constant-velocity PREDICTION from the
+        # two previous hints -- the cull runs at the predicted seed, and
+        # a pose between two sampled poses is NOT guaranteed inside the
+        # union of their relevance sets (observed: ~2% pair-count
+        # shortfall at one frame of a 128-frame run)
         T = np.asarray(traj_hint[f], np.float64)
         Tp = np.asarray(traj_hint[max(f - 1, 0)], np.float64)
+        Tp2 = np.asarray(traj_hint[max(f - 2, 0)], np.float64)
+        Tpred = Tp @ np.linalg.inv(Tp2) @ Tp
         s, g, p = estimate_map_capacities(
             mindex, frames[f],
-            [(T[:3, :3], T[:3, 3]), (Tp[:3, :3], Tp[:3, 3])], radius,
-            margin=margin, sup_margin=sup_margin, include_identity=False)
+            [(T[:3, :3], T[:3, 3]), (Tp[:3, :3], Tp[:3, 3]),
+             (Tpred[:3, :3], Tpred[:3, 3])], radius,
+            margin=margin, sup_margin=sup_margin, include_identity=False,
+            slot_margin=slot_margin)
         S, G, P = max(S, s), max(G, g), max(P, p)
     return S, G, P
 
@@ -323,7 +340,8 @@ def run_odometry_map(frames, mindex, map_xyz, T0=None,
                      initial_cull_radius: float = 0.3,
                      reuse_margin: float = 0.2,
                      use_constant_velocity: bool = True,
-                     traj_hint=None, T_prev_init=None) -> MapOdometryResult:
+                     traj_hint=None, T_prev_init=None,
+                     frame_analysis_fast: bool = True) -> MapOdometryResult:
     """The REAL localization loop against a map-scale prior (supp.pdf
     Tables II/III regime): per frame, a constant-velocity motion-model
     seed + one B=1 map-mode DCReg registration (two-level cull + slotted
@@ -376,7 +394,8 @@ def run_odometry_map(frames, mindex, map_xyz, T0=None,
                               int(num_supers), int(max_per_query),
                               float(initial_cull_radius),
                               float(reuse_margin),
-                              bool(use_constant_velocity))
+                              bool(use_constant_velocity),
+                              bool(frame_analysis_fast))
 
 
 def prepare_frames(frames, block: int = 128) -> np.ndarray:

@@ -236,6 +236,22 @@ def batched_block_knn(index: BlockIndex, src_blocks, poses, qid, tid,
         operands = [qid, tid, pid, lane_mask.reshape(-1), src_blocks, tgt,
                     poses]
 
+        def _tgt_index(p, qv, tv, mv, nw=n_words, sentinel=nbt):
+            # fully-masked pairs fetch the SENTINEL block instead of
+            # their real target: consecutive dead steps then repeat the
+            # same index and the pipeline skips the re-fetch (the
+            # adaptive live mask kills most pairs after iteration 0 --
+            # their compute is already skipped, this skips the DMA too)
+            live = mv[p * nw]
+            for i in range(1, nw):
+                live = live | mv[p * nw + i]
+            return (jnp.where(live != 0, tv[p], sentinel), 0, 0)
+
+        in_specs[1] = pl.BlockSpec((1, 3, TB),
+                                   lambda p, qv, tv, pv, mv:
+                                   _tgt_index(p, qv, tv, mv),
+                                   memory_space=pltpu.VMEM)
+
     kw = dict(n_lanes=B, nq=nq, index_bits=ib, scale=scale, clamp=clamp,
               n_words=n_words)
 

@@ -232,7 +232,8 @@ def main(out_dir="results/corridor_experiment"):
                 T_prev_init=jnp.asarray(T_pre2, jnp.float32),
                 detection=det, handling=hand, icp_params=params,
                 num_supers=S, max_per_query=G, num_pairs=P,
-                initial_cull_radius=r0, reuse_margin=margin)
+                initial_cull_radius=r0, reuse_margin=margin,
+                frame_analysis_fast=False)   # full cond_full telemetry
         res = jax.block_until_ready(run())        # compile + first run
         t0 = time.perf_counter()
         res = jax.block_until_ready(run())        # timed warm run

@@ -66,6 +66,56 @@ def test_sharded_matches_single_chip(block_cull):
     assert bool(res.converged) == bool(ref.converged)
 
 
+def test_sharded_matches_single_chip_midsize():
+    """Non-toy parity: 60k-point map / 4k-point scan, two-level shard
+    cull vs the unsharded engine (VERDICT r4 weak item 4: the sharded
+    path re-implements the correspondence/GN math inline, so drift would
+    only show at realistic sizes)."""
+    n_devices = 8
+    if len(jax.devices()) < n_devices:
+        pytest.skip("needs virtual device mesh")
+    rng = np.random.default_rng(12)
+    m = 60_000
+    xy = rng.uniform(-20, 20, (m, 2))
+    z = 0.15 * np.sin(0.7 * xy[:, 0]) * np.cos(0.5 * xy[:, 1]) \
+        + rng.normal(0, 0.003, m)
+    target = np.column_stack([xy, z])
+    # kd-leaf order: 32-pt blocks with no Z-order seam blocks (a seam
+    # block's map-spanning bbox inflates every relevance count)
+    from dcreg_tpu.ops.block_sparse import kd_block_order
+    target = target[kd_block_order(target, 32)]
+    # dense local disc source (a realistic scan neighborhood)
+    c = np.array([7.0, 5.0])
+    in_disc = np.sum((target[:, :2] - c) ** 2, axis=1) < 36.0
+    source = target[in_disc][:4096]
+    source = jnp.asarray(source, jnp.float64)
+    target = jnp.asarray(target, jnp.float64)
+    pose = jnp.array([0.004, -0.006, 0.01, 0.04, -0.05, 0.03])
+    R0 = se3.euler_zyx_to_rot(pose[0], pose[1], pose[2])
+    t0 = pose[3:]
+    params = ICPParams(max_iterations=10)
+
+    ref = icp_point_to_plane_so3(
+        source, target, R0, t0, DetectionMethod.SCHUR_CONDITION_NUMBER,
+        HandlingMethod.PRECONDITIONED_CG, params)
+
+    dp, mp = factor_mesh(n_devices)
+    mesh = make_mesh(dp, mp)
+    src_p, src_v = shard_points(source, dp)
+    tgt_p, tgt_v = shard_points(target, mp, block=32)
+    res = sharded_icp_register(
+        mesh, src_p, tgt_p, R0, t0, DetectionMethod.SCHUR_CONDITION_NUMBER,
+        HandlingMethod.PRECONDITIONED_CG, params,
+        source_valid=src_v, target_valid=tgt_v, block_cull=True,
+        num_blocks=96, super_size=8, num_supers=24)
+    assert int(res.block_overflow) == 0
+    np.testing.assert_allclose(np.asarray(res.t), np.asarray(ref.t),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(res.R), np.asarray(ref.R),
+                               atol=1e-8)
+    assert int(res.iterations) == int(ref.iterations)
+
+
 def test_sharded_two_level_cull_matches_flat():
     """super_size > 0 (the in-shard two-level cull, VERDICT r4 item 7)
     equals the flat block cull and the unsharded engine exactly."""

@@ -389,12 +389,22 @@ def estimate_map_capacities(mindex: MapIndex, source_xyz, poses_Rt,
     blk_count = np.zeros(nq, np.int64)
     rel_sup = np.zeros((nq, mindex.num_supers), bool)
     rel_blk_cnt = None
-    # union relevance over pose samples, super level first
+    # union relevance over pose samples, super level first.  The query
+    # bboxes use the SAME interval arithmetic as the engine's cull
+    # (rotate the body-frame bbox, conservative): transforming the
+    # points gives a TIGHTER box, so the engine would find relevant
+    # blocks the estimate never counted (measured: ~4% pair shortfall
+    # at yaw ~45 deg, where the interval box inflation peaks)
+    body_lo = qb.min(axis=1)                                 # (nq, 3)
+    body_hi = qb.max(axis=1)
     qlos, qhis = [], []
     for R, t in samples:
-        qw = qb @ R.T + t
-        qlos.append(qw.min(axis=1))
-        qhis.append(qw.max(axis=1))
+        lo = np.minimum(R[None, :, :] * body_lo[:, None, :],
+                        R[None, :, :] * body_hi[:, None, :]).sum(-1) + t
+        hi = np.maximum(R[None, :, :] * body_lo[:, None, :],
+                        R[None, :, :] * body_hi[:, None, :]).sum(-1) + t
+        qlos.append(lo)
+        qhis.append(hi)
     for qlo, qhi in zip(qlos, qhis):
         gap = np.maximum(0.0, np.maximum(qlo[:, None] - shi_s[None],
                                          slo_s[None] - qhi[:, None]))

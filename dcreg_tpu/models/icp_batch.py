@@ -33,10 +33,10 @@ from ..ops import se3
 from ..ops.block_sparse import BlockIndex, MapIndex
 from ..ops.degeneracy import DetectionMethod, HandlingMethod, analyze
 from ..ops.soa_tail import batched_tail_system
-from ..ops.pallas_block_knn import (QB, batched_block_knn, hier_relevance,
-                                    lane_relevance, make_pair_list,
-                                    make_pair_list_slotted, pack_lane_mask,
-                                    super_candidates)
+from ..ops.pallas_block_knn import (QB, batched_block_knn, exact_qbox,
+                                    hier_relevance, lane_relevance,
+                                    make_pair_list, make_pair_list_slotted,
+                                    pack_lane_mask, super_candidates)
 from ..ops.solvers import solve
 from ..utils import precise
 from .icp import (ICPParams, ICPResult, Hist, empty_hist, _empty_log,
@@ -137,15 +137,17 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
     pmax = jnp.sqrt(jnp.max(jnp.sum(source_xyz * source_xyz, axis=1)))
 
     if reuse:
-        # one-time cull + pair list at the initial pose, inflated radius
+        # one-time cull + pair list at the initial pose, inflated radius,
+        # EXACT transformed-point bboxes (tight, not interval arithmetic)
         r0v = radius if initial_cull_radius is None else initial_cull_radius
         r_list = jnp.float32(r0v) + jnp.float32(reuse_pair_list)
+        qbox0 = exact_qbox(src_q, R0s, t0s)
         sup_sel0, sup_ok0, sup_ovf0 = super_candidates(
             slo, shi, R0s.astype(jnp.float32), t0s.astype(jnp.float32),
-            mindex, r_list, num_supers)
+            mindex, r_list, num_supers, qbox=qbox0)
         rel_l0, block_ids0 = hier_relevance(
             slo, shi, R0s.astype(jnp.float32), t0s.astype(jnp.float32),
-            mindex, sup_sel0, sup_ok0, r_list)
+            mindex, sup_sel0, sup_ok0, r_list, qbox=qbox0)
         rel0 = jnp.any(rel_l0, axis=0)
         qid0, tid0, slot0, col0, table0, ovf0, run_ovf0 = \
             make_pair_list_slotted(rel0, num_pairs, max_per_query,
@@ -179,12 +181,8 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
             # r_cull (d5 + rigid-motion bound) -- the static list covers
             # r0 + margin, so later (tight-radius) iterations skip most
             # of the kernel's compute steps
-            Rf = Rs.astype(jnp.float32)
-            tf = ts.astype(jnp.float32)
-            m = Rf[0, None, :, :] * slo[:, None, :]          # (nq, 3, 3)
-            M = Rf[0, None, :, :] * shi[:, None, :]
-            qlo = jnp.sum(jnp.minimum(m, M), axis=-1) + tf[0]
-            qhi = jnp.sum(jnp.maximum(m, M), axis=-1) + tf[0]
+            qlo_b, qhi_b = exact_qbox(src_q, Rs, ts)
+            qlo, qhi = qlo_b[0], qhi_b[0]
             gap = jnp.maximum(0.0,
                               jnp.maximum(qlo[qid_safe0] - p_thi0,
                                           p_tlo0 - qhi[qid_safe0]))
@@ -195,10 +193,13 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
         elif map_mode:
             # level-1 cull: nearest relevant supers per query block, then
             # level-0 cull over only their blocks -- no (nq, nbt) matrix
+            qbox_i = exact_qbox(src_q, Rs, ts)
             sup_sel, sup_ok, sup_ovf = super_candidates(
-                slo, shi, Rs, ts, mindex, r_cull, num_supers, active=active)
+                slo, shi, Rs, ts, mindex, r_cull, num_supers, active=active,
+                qbox=qbox_i)
             rel_l, block_ids = hier_relevance(slo, shi, Rs, ts, mindex,
-                                              sup_sel, sup_ok, r_cull)
+                                              sup_sel, sup_ok, r_cull,
+                                              qbox=qbox_i)
             rel_l = rel_l & active[:, None, None]            # (B, nq, C)
             rel = jnp.any(rel_l, axis=0)
             qid, tid, slot, col, table, ovf, run_ovf = make_pair_list_slotted(
@@ -213,7 +214,8 @@ def icp_batch_so3(source_xyz, target_xyz, R0s, t0s,
                               max_per_query=max_per_query)
         else:
             rel_l = lane_relevance(slo, shi, Rs, ts, bi.lo, bi.hi,
-                                   r_cull, per_lane=True)    # (B, nq, nbt)
+                                   r_cull, per_lane=True,
+                                   qbox=exact_qbox(src_q, Rs, ts))
             rel_l = rel_l & active[:, None, None]
             rel = jnp.any(rel_l, axis=0)
             qid, tid, overflow = make_pair_list(rel, num_pairs)
@@ -389,22 +391,15 @@ def estimate_map_capacities(mindex: MapIndex, source_xyz, poses_Rt,
     blk_count = np.zeros(nq, np.int64)
     rel_sup = np.zeros((nq, mindex.num_supers), bool)
     rel_blk_cnt = None
-    # union relevance over pose samples, super level first.  The query
-    # bboxes use the SAME interval arithmetic as the engine's cull
-    # (rotate the body-frame bbox, conservative): transforming the
-    # points gives a TIGHTER box, so the engine would find relevant
-    # blocks the estimate never counted (measured: ~4% pair shortfall
-    # at yaw ~45 deg, where the interval box inflation peaks)
-    body_lo = qb.min(axis=1)                                 # (nq, 3)
-    body_hi = qb.max(axis=1)
+    # union relevance over pose samples, super level first.  The engine
+    # culls with EXACT transformed-point bboxes (exact_qbox), so the
+    # estimate transforms the points the same way -- any mismatch here
+    # shows up as silent pair-capacity shortfall at runtime
     qlos, qhis = [], []
     for R, t in samples:
-        lo = np.minimum(R[None, :, :] * body_lo[:, None, :],
-                        R[None, :, :] * body_hi[:, None, :]).sum(-1) + t
-        hi = np.maximum(R[None, :, :] * body_lo[:, None, :],
-                        R[None, :, :] * body_hi[:, None, :]).sum(-1) + t
-        qlos.append(lo)
-        qhis.append(hi)
+        qw = qb @ R.T + t
+        qlos.append(qw.min(axis=1))
+        qhis.append(qw.max(axis=1))
     for qlo, qhi in zip(qlos, qhis):
         gap = np.maximum(0.0, np.maximum(qlo[:, None] - shi_s[None],
                                          slo_s[None] - qhi[:, None]))

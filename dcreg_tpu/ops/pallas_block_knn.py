@@ -419,21 +419,43 @@ def make_pair_list_slotted(rel, num_pairs: int, max_per_query: int,
     return qid, tid, slot, col, tbl, overflow, run_overflow
 
 
+def exact_qbox(src_q, Rs, ts):
+    """Per-lane, per-query-block bboxes of the TRANSFORMED points.
+
+    src_q: (nq, QB, 3) body-frame blocked source; Rs (B, 3, 3), ts
+    (B, 3).  Returns (qlo, qhi) each (B, nq, 3).  Transforming the
+    points costs B*N*9 flops (the kernel re-transforms them anyway) and
+    gives TIGHT boxes; the interval-arithmetic rotation of the body
+    bbox is up to ~sqrt(2) fatter per axis at 45-degree yaw, which
+    showed up as ~35% more relevant pairs at map scale.  Exactness of
+    the cull is unchanged (any target within r of a query point is
+    within r of the tight bbox)."""
+    pw = jnp.einsum("qpj,bij->bqpi", src_q.astype(jnp.float32),
+                    Rs.astype(jnp.float32)) \
+        + ts.astype(jnp.float32)[:, None, None, :]
+    return pw.min(axis=2), pw.max(axis=2)
+
+
 def super_candidates(slo, shi, Rs, ts, mindex, r_cull, num_supers: int,
-                     active=None):
+                     active=None, qbox=None):
     """Per-query-block nearest relevant SUPER-blocks (level-1 cull).
 
     slo/shi: (nq, 3) body-frame source block bboxes; Rs (B, 3, 3), ts
     (B, 3); r_cull as in ``lane_relevance``; active: optional (B,) bool
-    lane mask.  Returns (sup_sel (nq, S) int32, sup_ok (nq, S) bool,
+    lane mask; qbox: optional precomputed exact (qlo, qhi) from
+    ``exact_qbox`` (falls back to conservative interval arithmetic).
+    Returns (sup_sel (nq, S) int32, sup_ok (nq, S) bool,
     sup_overflow () int32 = #query blocks whose relevant-super count
     exceeded S)."""
     # one gap computation serves both the relevance test and the
     # nearest-S ranking
-    m = Rs[:, None, :, :] * slo[None, :, None, :]
-    M = Rs[:, None, :, :] * shi[None, :, None, :]
-    qlo = jnp.sum(jnp.minimum(m, M), axis=-1) + ts[:, None, :]
-    qhi = jnp.sum(jnp.maximum(m, M), axis=-1) + ts[:, None, :]
+    if qbox is not None:
+        qlo, qhi = qbox
+    else:
+        m = Rs[:, None, :, :] * slo[None, :, None, :]
+        M = Rs[:, None, :, :] * shi[None, :, None, :]
+        qlo = jnp.sum(jnp.minimum(m, M), axis=-1) + ts[:, None, :]
+        qhi = jnp.sum(jnp.maximum(m, M), axis=-1) + ts[:, None, :]
     gap = jnp.maximum(0.0,
                       jnp.maximum(qlo[:, :, None, :] - mindex.sup_hi,
                                   mindex.sup_lo - qhi[:, :, None, :]))
@@ -457,7 +479,8 @@ def super_candidates(slo, shi, Rs, ts, mindex, r_cull, num_supers: int,
     return sup_sel, sup_ok, jnp.sum((n_rel > S).astype(jnp.int32))
 
 
-def hier_relevance(slo, shi, Rs, ts, mindex, sup_sel, sup_ok, r_cull):
+def hier_relevance(slo, shi, Rs, ts, mindex, sup_sel, sup_ok, r_cull,
+                   qbox=None):
     """Level-0 cull restricted to the selected supers' blocks.
 
     Returns (rel_l (B, nq, C) bool with C = S*sb, block_ids (nq, C)
@@ -475,10 +498,13 @@ def hier_relevance(slo, shi, Rs, ts, mindex, sup_sel, sup_ok, r_cull):
     blo = bi.lo[safe_ids]                                    # (nq, C, 3)
     bhi = bi.hi[safe_ids]
 
-    m = Rs[:, None, :, :] * slo[None, :, None, :]
-    M = Rs[:, None, :, :] * shi[None, :, None, :]
-    qlo = jnp.sum(jnp.minimum(m, M), axis=-1) + ts[:, None, :]  # (B, nq, 3)
-    qhi = jnp.sum(jnp.maximum(m, M), axis=-1) + ts[:, None, :]
+    if qbox is not None:
+        qlo, qhi = qbox
+    else:
+        m = Rs[:, None, :, :] * slo[None, :, None, :]
+        M = Rs[:, None, :, :] * shi[None, :, None, :]
+        qlo = jnp.sum(jnp.minimum(m, M), axis=-1) + ts[:, None, :]
+        qhi = jnp.sum(jnp.maximum(m, M), axis=-1) + ts[:, None, :]
     gap = jnp.maximum(0.0,
                       jnp.maximum(qlo[:, :, None, :] - bhi[None, :, :, :],
                                   blo[None, :, :, :] - qhi[:, :, None, :]))
@@ -512,7 +538,8 @@ def pack_lane_mask(rel_lanes, qid, tid):
     return jnp.where(pad[:, None], 0, out)
 
 
-def lane_relevance(slo, shi, Rs, ts, tlo, thi, radius, per_lane=False):
+def lane_relevance(slo, shi, Rs, ts, tlo, thi, radius, per_lane=False,
+                   qbox=None):
     """Relevance matrix for a batch of poses via interval arithmetic.
 
     slo/shi: (nq, 3) source block bboxes (body frame); Rs (B, 3, 3),
@@ -522,11 +549,15 @@ def lane_relevance(slo, shi, Rs, ts, tlo, thi, radius, per_lane=False):
     (nq, nbt) bool (any lane within ``radius``), or the per-lane
     (B, nq, nbt) bool when ``per_lane``."""
     # transformed bbox: per output coord, sum of per-input-coord term
-    # intervals (summing first and then taking min/max would under-cover)
-    m = Rs[:, None, :, :] * slo[None, :, None, :]            # (B, nq, 3, 3)
-    M = Rs[:, None, :, :] * shi[None, :, None, :]
-    qlo = jnp.sum(jnp.minimum(m, M), axis=-1) + ts[:, None, :]
-    qhi = jnp.sum(jnp.maximum(m, M), axis=-1) + ts[:, None, :]
+    # intervals (summing first and then taking min/max would under-cover);
+    # a precomputed exact_qbox replaces the conservative interval form
+    if qbox is not None:
+        qlo, qhi = qbox
+    else:
+        m = Rs[:, None, :, :] * slo[None, :, None, :]        # (B, nq, 3, 3)
+        M = Rs[:, None, :, :] * shi[None, :, None, :]
+        qlo = jnp.sum(jnp.minimum(m, M), axis=-1) + ts[:, None, :]
+        qhi = jnp.sum(jnp.maximum(m, M), axis=-1) + ts[:, None, :]
     gap = jnp.maximum(0.0,
                       jnp.maximum(qlo[:, :, None, :] - thi[None, None, :, :],
                                   tlo[None, None, :, :] - qhi[:, :, None, :]))

@@ -164,7 +164,7 @@ def build_block_index(sorted_points, dtype=jnp.float32,
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=("block", "sup_lo", "sup_hi"),
+    data_fields=("block", "sup_lo", "sup_hi", "blk_lo_g", "blk_hi_g"),
     meta_fields=("sb", "num_supers"))
 @dataclasses.dataclass(frozen=True)
 class MapIndex:
@@ -182,6 +182,14 @@ class MapIndex:
     block: BlockIndex
     sup_lo: jax.Array     # (ns, 3) super bbox over real points
     sup_hi: jax.Array     # (ns, 3)
+    blk_lo_g: jax.Array   # (ns, sb*3) block bboxes GROUPED BY SUPER:
+    #   the level-0 cull gathers each selected super's blocks as ONE
+    #   contiguous slab instead of sb independent 12-byte row gathers
+    #   from a multi-hundred-k-row array (measured 0.93 ms at 50M
+    #   points).  Stored rank-2 with the coordinate axis FOLDED into the
+    #   minor dim: an (ns, sb, 3) layout would lane-pad the minor 3 to
+    #   128 (the 42x hidden-HBM trap).  Padding rows inf/-inf.
+    blk_hi_g: jax.Array   # (ns, sb*3)
     sb: int               # blocks per super
     num_supers: int
 
@@ -197,11 +205,15 @@ def build_map_index(sorted_points, dtype=jnp.float32, tb: int = 128,
                          np.full((pad, 3), np.inf)])
     hi = np.concatenate([np.asarray(bi.hi, np.float64),
                          np.full((pad, 3), -np.inf)])
-    sup_lo = lo.reshape(ns, sb, 3).min(axis=1)
-    sup_hi = hi.reshape(ns, sb, 3).max(axis=1)
+    lo_g = lo.reshape(ns, sb, 3)
+    hi_g = hi.reshape(ns, sb, 3)
+    sup_lo = lo_g.min(axis=1)
+    sup_hi = hi_g.max(axis=1)
     return MapIndex(block=bi, sup_lo=jnp.asarray(sup_lo, dtype),
-                    sup_hi=jnp.asarray(sup_hi, dtype), sb=int(sb),
-                    num_supers=int(ns))
+                    sup_hi=jnp.asarray(sup_hi, dtype),
+                    blk_lo_g=jnp.asarray(lo_g.reshape(ns, sb * 3), dtype),
+                    blk_hi_g=jnp.asarray(hi_g.reshape(ns, sb * 3), dtype),
+                    sb=int(sb), num_supers=int(ns))
 
 
 def suggest_num_blocks(index: BlockIndex, sample_queries, radius: float,

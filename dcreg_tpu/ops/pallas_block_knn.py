@@ -495,8 +495,12 @@ def hier_relevance(slo, shi, Rs, ts, mindex, sup_sel, sup_ok, r_cull,
     in_map = (block_ids < bi.num_blocks) & \
         jnp.repeat(sup_ok, sb, axis=1)
     safe_ids = jnp.where(in_map, block_ids, 0)
-    blo = bi.lo[safe_ids]                                    # (nq, C, 3)
-    bhi = bi.hi[safe_ids]
+    # ONE contiguous (sb*3,) slab gather per selected super (padding
+    # rows are inf/-inf -> infinite gap, masked by in_map anyway);
+    # per-row gathers from the (nbt, 3) arrays were the dominant
+    # one-time cull cost at map scale (0.93 ms at 50M points)
+    blo = mindex.blk_lo_g[sup_sel].reshape(nq, S * sb, 3)
+    bhi = mindex.blk_hi_g[sup_sel].reshape(nq, S * sb, 3)
 
     if qbox is not None:
         qlo, qhi = qbox

@@ -52,7 +52,9 @@ BASELINE_MS = 7.79          # supp.pdf Table I, "Ours" cylinder time
 BASELINE_REG_S = 1000.0 / BASELINE_MS
 MAP_BASELINE_MS = 6.47      # supp.pdf Table II, Stairs: 3-5k pts vs 128M map
 BATCH = int(os.environ.get("DCREG_BENCH_BATCH", "128"))
-MAP_POINTS = int(os.environ.get("DCREG_BENCH_MAP_POINTS", "50000000"))
+# default 128M = the reference's Stairs map size (supp.pdf Table II):
+# apples-to-apples with its 6.47 ms/frame headline row
+MAP_POINTS = int(os.environ.get("DCREG_BENCH_MAP_POINTS", "128000000"))
 MAP_BATCH = int(os.environ.get("DCREG_BENCH_MAP_BATCH", "8"))
 ODOM_FRAMES = int(os.environ.get("DCREG_BENCH_ODOM_FRAMES", "128"))
 BASELINE_FRAMES = int(os.environ.get("DCREG_BENCH_BASELINE_FRAMES", "16"))

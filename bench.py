@@ -243,19 +243,33 @@ def bench_map(out):
     from dcreg_tpu.ops import se3
 
     extent = max(60.0, (MAP_POINTS / 1500.0) ** 0.5)  # ~density-stable
-    world = _synthetic_map(MAP_POINTS, extent)
-    # the ground plane clears the map-frame origin: the reference-
-    # faithful n.p=-1 plane fit (icp_test_runner.cpp:1726) is singular
-    # for planes through the origin -- a ground plane at z=0 through
-    # (0,0,0) gets ~13 deg rms phantom normal tilt (measured).  The
-    # clearance is a FIXED ~10 m, not extent-scaled: f32 fit precision
-    # degrades with |p| (an earlier 0.3*extent offset put the scan region
-    # at |p|~165 m and cost ~2.5 extra ICP iterations per frame), so the
-    # scene stays in a local frame, as any f32 production map must
-    world = world + np.array([0.0, 0.0, 9.0], np.float32)
-    # kd-leaf order: every 128-point block is a compact box (a Morton
-    # seam block would span the map and set the slot capacity)
-    world = world[kd_block_order(world, 128)]
+    # the generated world is deterministic, and the host-side build
+    # (generation + kd-leaf ordering of 1e8+ points in numpy) costs
+    # ~10-15 min at 128M -- cache the finished array on disk
+    cache = os.path.expanduser(
+        f"~/.cache/dcreg_bench/world_{MAP_POINTS}_v1.npy")
+    if os.path.exists(cache):
+        world = np.load(cache)
+    else:
+        world = _synthetic_map(MAP_POINTS, extent)
+        # the ground plane clears the map-frame origin: the reference-
+        # faithful n.p=-1 plane fit (icp_test_runner.cpp:1726) is
+        # singular for planes through the origin -- a ground plane at
+        # z=0 through (0,0,0) gets ~13 deg rms phantom normal tilt
+        # (measured).  The clearance is a FIXED ~10 m, not
+        # extent-scaled: f32 fit precision degrades with |p| (an
+        # earlier 0.3*extent offset put the scan region at |p|~165 m
+        # and cost ~2.5 extra ICP iterations per frame), so the scene
+        # stays in a local frame, as any f32 production map must
+        world = world + np.array([0.0, 0.0, 9.0], np.float32)
+        # kd-leaf order: every 128-point block is a compact box (a
+        # Morton seam block would span the map and set slot capacity)
+        world = world[kd_block_order(world, 128)]
+        try:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            np.save(cache, world)
+        except OSError:
+            pass                       # disk-full etc.: just rebuild
     mindex = build_map_index(world, dtype=jnp.float32, tb=128, sb=64)
 
     # ---- GT trajectory + per-frame scans inside the map -----------------

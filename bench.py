@@ -523,7 +523,12 @@ def bench_map(out):
             f"{BASELINE_FRAMES}-frame real loop each; this scene is "
             "fully constrained so baseline ACCURACY matches by design "
             "-- the degenerate-scene separation lives in "
-            "results/corridor_experiment (same loop, corridor world)")
+            "results/corridor_experiment (same loop, corridor world). "
+            "XICP/SuperLoc stay pair-mode engines (their detectors need "
+            "per-point contribution lists / Ceres-style inner solves the "
+            "batched map kernel does not carry), mirroring the "
+            "reference, whose Tables II/III baselines are the ME family "
+            "+ FCN-SR + O3D as well")
     except Exception as e:   # noqa: BLE001 -- baselines must not kill map
         out["map_scale"]["baselines"] = {"error": str(e)[:300]}
 
